@@ -1,0 +1,194 @@
+"""Configuration system for emdr2_tpu.
+
+The reference uses a single argparse tree with global singletons
+(``/root/reference/megatron/arguments.py:24-148``, ``global_vars.py:35-250``).
+We replace that with plain frozen dataclasses composed into one ``EMDR2Config``,
+passed explicitly — no process-global state, which keeps everything jit- and
+test-friendly.
+
+Defaults reproduce the flagship NQ recipe
+(``/root/reference/examples/openqa/emdr2_nq.sh:38-103``): BERT-base retriever,
+T5-base reader, top-50 retrieval, seq lengths 512/256/32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Shared transformer trunk hyperparameters.
+
+    Mirrors the reference model args (``/root/reference/megatron/arguments.py:166-216``):
+    pre-LN blocks, learned absolute position embeddings, gelu MLP.
+    """
+
+    vocab_size: int = 30592          # 30522 padded to a multiple of 128 (tokenizer.py:57-70)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    ffn_size: int = 3072
+    max_position_embeddings: int = 512
+    num_tokentypes: int = 0          # BERT uses 2; T5 uses 0
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layernorm_epsilon: float = 1e-5
+    init_std: float = 0.02           # init_method_std (arguments.py:200)
+    apply_residual_scaled_init: bool = True   # scaled init on output layers (model/utils.py:33-41)
+    dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params always fp32
+    # Dormant-at-runtime TP in the reference (dualencoder_model.py:15 asserts MP==1)
+    # is first-class here: logical axis names resolved against the mesh.
+    remat: bool = False              # activation checkpointing (transformer.py:621-646)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_heads == 0
+        return self.hidden_size // self.num_heads
+
+
+def bert_base(**overrides) -> TransformerConfig:
+    return dataclasses.replace(
+        TransformerConfig(num_tokentypes=2, max_position_embeddings=512), **overrides
+    )
+
+
+def t5_base(**overrides) -> TransformerConfig:
+    # T5 tokenizer = BERT wordpiece + [BOS]/[EOS] + 100 sentinels, padded to 128
+    # (reference global_vars.py:103-109, tokenizer/tokenizer.py:135-179) -> 30624 -> pad 30720.
+    return dataclasses.replace(
+        TransformerConfig(vocab_size=30720, num_tokentypes=0, max_position_embeddings=512),
+        **overrides,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrieverConfig:
+    """Dual-encoder retriever (reference ``model/dualencoder_model.py``)."""
+
+    encoder: TransformerConfig = _field(default_factory=bert_base)
+    embed_dim: int = 768             # CLS hidden state used raw (dualencoder_model.py:176-179)
+    seq_len: int = 256               # retriever context length (emdr2_nq.sh:48)
+    query_seq_len: int = 64
+    share_encoders_from_init: bool = True   # both towers cloned from one BERT ckpt (:111-143)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReaderConfig:
+    """T5 Fusion-in-Decoder reader (reference ``model/t5_model.py``)."""
+
+    transformer: TransformerConfig = _field(default_factory=t5_base)
+    seq_len: int = 512               # query + extended context (emdr2_nq.sh:47)
+    decoder_seq_len: int = 32        # (emdr2_nq.sh:49)
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Sharded flat MIPS index over evidence embeddings.
+
+    Replaces the reference's FAISS / DistributedBruteForceIndex
+    (``/root/reference/megatron/data/emdr2_index.py:103-305``): the [N, d]
+    matrix lives sharded over device HBM and is searched by a fused Pallas
+    dot-product+top-k kernel with an all_gather candidate merge.
+    """
+
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.bfloat16
+    topk: int = 50                   # --topk-retrievals (emdr2_nq.sh:96)
+    allow_trivial_doc: bool = True   # else fetch K+1 and drop the source doc (emdr2_model.py:389-391)
+    # Pallas kernel tuning
+    chunk_rows: int = 2048           # evidence rows per kernel tile
+    group_size: int = 128            # candidate group-max reduction factor
+    query_tile: int = 128
+    exact: bool = False              # exact top-k (tests / CPU) vs fused candidate kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.
+
+    The reference splits 16 GPUs into a trainer group and an indexer group
+    (``mpu/initialize.py:255-263``). Here one global mesh carries named axes
+    and the embedder work runs on a sub-mesh slice of the same program.
+    """
+
+    dp: int = 1                      # data-parallel axis size
+    tp: int = 1                      # tensor-parallel axis size
+    axis_names: Tuple[str, str] = ("dp", "tp")
+    # Fraction of dp rows dedicated to async re-embedding (0 = synchronous refresh).
+    embedder_rows: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """AdamW + clip + LR schedule (reference ``training.py:73-101``,
+    ``learning_rates.py:23-123``). bf16 compute / fp32 params replaces the
+    reference's FP16_Optimizer + dynamic loss scaling (``fp16/``)."""
+
+    lr: float = 2e-5
+    min_lr: float = 0.0
+    weight_decay: float = 0.1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    clip_grad: float = 1.0
+    lr_decay_style: str = "linear"   # linear|cosine|exponential|constant
+    warmup: float = 0.01             # fraction of total iters (emdr2_nq.sh:84)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8              # per-replica (emdr2_nq.sh:45)
+    train_iters: Optional[int] = None  # derived from epochs x len(loader) if None
+    epochs: int = 10
+    seed: int = 1234
+    log_interval: int = 20
+    save_interval: int = 500
+    eval_interval: int = 500
+    exit_interval: Optional[int] = None
+    index_reload_interval: int = 500  # steps between index refreshes (emdr2_nq.sh:102)
+    optimizer: OptimizerConfig = _field(default_factory=OptimizerConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class EMDR2Config:
+    """Top-level joint model + training configuration."""
+
+    retriever: RetrieverConfig = _field(default_factory=RetrieverConfig)
+    reader: ReaderConfig = _field(default_factory=ReaderConfig)
+    index: IndexConfig = _field(default_factory=IndexConfig)
+    mesh: MeshConfig = _field(default_factory=MeshConfig)
+    train: TrainConfig = _field(default_factory=TrainConfig)
+    # EMDR2 objective flags (reference tasks args, tasks/run.py:12-45)
+    update_retriever: bool = True    # train the retriever through topk_log_probs
+    retriever_score_scaling: bool = True  # divide scores by sqrt(d) (emdr2_model.py:137-141)
+    use_kl_div_loss: bool = False    # KL variant (train_e2eqa.py:184-214)
+    shard_reader_over_dp: bool = True
+
+    def replace(self, **kw) -> "EMDR2Config":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**overrides) -> EMDR2Config:
+    """A tiny configuration for unit tests and compile checks."""
+    enc = TransformerConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4, ffn_size=128,
+        max_position_embeddings=128, num_tokentypes=2, hidden_dropout=0.0,
+        attention_dropout=0.0, dtype=jnp.float32,
+    )
+    t5c = dataclasses.replace(enc, vocab_size=640, num_tokentypes=0)
+    cfg = EMDR2Config(
+        retriever=RetrieverConfig(encoder=enc, embed_dim=64, seq_len=32, query_seq_len=16),
+        reader=ReaderConfig(transformer=t5c, seq_len=48, decoder_seq_len=8),
+        index=IndexConfig(embed_dim=64, topk=4, chunk_rows=256, group_size=8,
+                          query_tile=8, dtype=jnp.float32),
+        train=TrainConfig(batch_size=2, epochs=1),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
