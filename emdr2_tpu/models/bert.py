@@ -1,0 +1,77 @@
+"""BERT encoder and DPR-style dual encoder.
+
+Parity targets: ``/root/reference/megatron/model/bert_model.py:104-201`` and
+``model/dualencoder_model.py:27-194``. The retrieval embedding is the raw
+CLS-token hidden state — no pooler head (dualencoder_model.py:176-179).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from emdr2_tpu.config import RetrieverConfig, TransformerConfig
+from emdr2_tpu.data import masks
+from emdr2_tpu.models.layers import Embeddings, TransformerStack, sharding_constraint
+
+
+class BertEncoder(nn.Module):
+    """BERT trunk: embeddings (word+pos+tokentype) + pre-LN transformer.
+
+    ``__call__`` returns all hidden states; ``embed`` returns the CLS vector.
+    """
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, ids, tokentype_ids=None, deterministic: bool = True):
+        cfg = self.config
+        x = Embeddings(cfg, name="embeddings")(
+            ids, tokentype_ids=tokentype_ids, deterministic=deterministic)
+        x = sharding_constraint(x, ("batch", "length", "embed"))
+        bias = masks.mask_to_bias(masks.self_attention_mask(ids))[:, None, :, :]
+        x = TransformerStack(cfg, name="encoder")(
+            x, self_bias=bias, deterministic=deterministic)
+        return x
+
+    def embed(self, ids, tokentype_ids=None, deterministic: bool = True):
+        """CLS-token raw hidden state as the retrieval embedding
+        (dualencoder_model.py:176-179)."""
+        hidden = self(ids, tokentype_ids, deterministic)
+        return hidden[:, 0, :]
+
+
+class DualEncoder(nn.Module):
+    """Separate query/context towers (``DualEncoderModel``,
+    dualencoder_model.py:27-143). Either tower can be used alone (the async
+    indexer builds a context-only model, ``indexer_emdr2.py:58-69``); weights
+    for both towers are typically cloned from one BERT checkpoint at init.
+    """
+
+    config: RetrieverConfig
+
+    def setup(self):
+        self.query_model = BertEncoder(self.config.encoder)
+        self.context_model = BertEncoder(self.config.encoder)
+
+    def __call__(self, query_ids=None, context_ids=None,
+                 deterministic: bool = True):
+        """Returns (query_embeds, context_embeds); either may be None.
+
+        Parity with forward (dualencoder_model.py:56-74) / ``embed_text``
+        (:76-82): embeddings are fp32 CLS states.
+        """
+        q = c = None
+        if query_ids is not None:
+            q = self.embed_query(query_ids, deterministic)
+        if context_ids is not None:
+            c = self.embed_context(context_ids, deterministic)
+        return q, c
+
+    def embed_query(self, ids, deterministic: bool = True):
+        return self.query_model.embed(ids, deterministic=deterministic).astype(jnp.float32)
+
+    def embed_context(self, ids, deterministic: bool = True):
+        return self.context_model.embed(ids, deterministic=deterministic).astype(jnp.float32)

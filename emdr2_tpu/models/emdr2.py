@@ -1,0 +1,195 @@
+"""EMDR2 joint retriever+reader model — the differentiable core.
+
+Parity target: ``/root/reference/megatron/model/emdr2_model.py:31-247``. The
+reference forward interleaves device compute with host work (MIPS search +
+token postprocess) inside one big ``forward``. TPU-first, we split the step
+into three stages so the device part is one fused jitted graph:
+
+1. ``embed_query`` (jit)      — fresh query CLS embeddings for MIPS search
+                                 (emdr2_model.py:98-108; search itself is in
+                                 ``emdr2_tpu.ops.mips`` / ``retrieval.index``).
+2. host postprocess            — gather top-K passage tokens, build the three
+                                 token layouts (``emdr2_tpu.data.postprocess``,
+                                 parity with emdr2_model.py:250-376).
+3. ``__call__`` (jit, grad)    — recompute query embeddings *with gradient*
+                                 (same weights, so values match the stage-1
+                                 search exactly), embed contexts, form
+                                 ``topk_log_probs``, run the FiD reader, and
+                                 produce the stop-gradient per-document
+                                 teacher scores.
+
+Gradient boundaries mirror the reference exactly: the top-K *selection* is a
+constant w.r.t. parameters; gradient reaches the dual encoder only through
+``topk_log_probs`` (emdr2_model.py:134-145), and the one-context teacher pass
+is fully stop-gradient (:185-211).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emdr2_tpu.config import EMDR2Config
+from emdr2_tpu.data import masks
+from emdr2_tpu.models.bert import DualEncoder
+from emdr2_tpu.models.t5 import T5Model
+
+
+class EMDR2Batch(NamedTuple):
+    """Device inputs for one training step, post host-side retrieval.
+
+    Shapes: B = batch, K = topk, Lq/Lc = retriever query/context lengths,
+    Lr = reader seq length, Ld = decoder length.
+    """
+
+    query_bert_ids: jnp.ndarray        # [B, Lq]  int32
+    context_bert_ids: jnp.ndarray      # [B, K, Lc] int32 (CLS title SEP text SEP)
+    context_bert_types: jnp.ndarray    # [B, K, Lc] int32 tokentype ids
+    reader_ids: jnp.ndarray            # [B, K, Lr] query + extended 3-par context
+    reader_one_ctx_ids: jnp.ndarray    # [B, K, Lr] query + single context (teacher)
+    dec_ids: jnp.ndarray               # [B, Ld] decoder input ([BOS] answer...)
+    labels: jnp.ndarray                # [B, Ld] decoder targets (answer... [EOS])
+    loss_mask: jnp.ndarray             # [B, Ld] float 0/1
+
+
+class EMDR2Output(NamedTuple):
+    lm_logits: jnp.ndarray             # [B, Ld, V] fp32
+    topk_log_probs: jnp.ndarray        # [B, K] fp32 (grad -> dual encoder)
+    gold_log_probs: jnp.ndarray        # [B, K, Ld] fp32 teacher per-doc gold
+                                       # token log-probs, stop-gradient
+
+
+def _gold_log_probs(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """log p(label) under logits: [..., L, V], [..., L] -> [..., L].
+
+    Fused gather+logsumexp so the full teacher [B,K,Ld,V] tensor never
+    crosses the model boundary (the reference materializes it,
+    emdr2_model.py:205-211 — a memory anti-pattern at K=50).
+    """
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return picked - lse
+
+
+class EMDR2Model(nn.Module):
+    config: EMDR2Config
+
+    def setup(self):
+        self.retriever = DualEncoder(self.config.retriever)
+        self.reader = T5Model(self.config.reader.transformer)
+
+    # ---- stage 1: retrieval-side embeddings --------------------------------
+
+    def embed_query(self, query_bert_ids, deterministic: bool = True):
+        """[B, Lq] -> [B, d] fp32 fresh query embeddings (emdr2_model.py:98-104)."""
+        return self.retriever.embed_query(query_bert_ids, deterministic)
+
+    def embed_context(self, context_bert_ids, tokentype_ids=None,
+                      deterministic: bool = True):
+        """[N, Lc] -> [N, d] fp32 context embeddings (index building)."""
+        return self.retriever.context_model.embed(
+            context_bert_ids, tokentype_ids=tokentype_ids,
+            deterministic=deterministic).astype(jnp.float32)
+
+    # ---- retriever scores ---------------------------------------------------
+
+    def _topk_log_probs(self, batch: EMDR2Batch, deterministic: bool):
+        cfg = self.config
+        B, K, Lc = batch.context_bert_ids.shape
+        q = self.retriever.embed_query(batch.query_bert_ids, deterministic)
+        c = self.retriever.context_model.embed(
+            batch.context_bert_ids.reshape(B * K, Lc),
+            tokentype_ids=batch.context_bert_types.reshape(B * K, Lc),
+            deterministic=deterministic,
+        ).astype(jnp.float32).reshape(B, K, -1)
+        # [B, K] similarity (emdr2_model.py:134-141)
+        scores = jnp.einsum("bd,bkd->bk", q, c, preferred_element_type=jnp.float32)
+        if cfg.retriever_score_scaling:
+            scores = scores / jnp.sqrt(
+                jnp.asarray(cfg.retriever.encoder.hidden_size, jnp.float32))
+        return jax.nn.log_softmax(scores, axis=-1)
+
+    # ---- FiD reader ----------------------------------------------------------
+
+    def _fid_encode(self, reader_ids, deterministic: bool):
+        """[B, K, Lr] -> hidden [B, K*Lr, H], flat ids [B, K*Lr].
+
+        Each context is encoded independently (embarrassingly parallel over
+        the K axis — the natural TPU sharding dimension); the decoder
+        cross-attends over the concatenation (emdr2_model.py:148-164).
+        """
+        B, K, Lr = reader_ids.shape
+        flat = reader_ids.reshape(B * K, Lr)
+        hidden = self.reader.encode(flat, deterministic)
+        H = hidden.shape[-1]
+        return hidden.reshape(B, K * Lr, H), reader_ids.reshape(B, K * Lr)
+
+    def __call__(self, batch: EMDR2Batch, deterministic: bool = True,
+                 update_retriever: Optional[bool] = None) -> EMDR2Output:
+        cfg = self.config
+        update_retriever = (cfg.update_retriever if update_retriever is None
+                            else update_retriever)
+
+        topk_log_probs = self._topk_log_probs(batch, deterministic)
+
+        enc_hidden, enc_flat_ids = self._fid_encode(batch.reader_ids, deterministic)
+        enc_dec_mask = masks.attention_mask(batch.dec_ids, enc_flat_ids)
+        lm_logits = self.reader.decode(
+            batch.dec_ids, enc_hidden, enc_dec_mask, deterministic
+        ).astype(jnp.float32)
+
+        if update_retriever:
+            gold_log_probs = jax.lax.stop_gradient(
+                self._teacher_gold_log_probs(batch, deterministic))
+        else:
+            B, K = topk_log_probs.shape
+            gold_log_probs = jnp.zeros(
+                (B, K, batch.labels.shape[-1]), jnp.float32)
+
+        return EMDR2Output(lm_logits, topk_log_probs, gold_log_probs)
+
+    def _teacher_gold_log_probs(self, batch: EMDR2Batch, deterministic: bool):
+        """Per-document teacher: T5 over query+single-context, gold token
+        log-probs [B, K, Ld] (emdr2_model.py:185-211, fused; see
+        ``_gold_log_probs``)."""
+        B, K, Lr = batch.reader_one_ctx_ids.shape
+        Ld = batch.dec_ids.shape[-1]
+        flat_ids = batch.reader_one_ctx_ids.reshape(B * K, Lr)
+        dec_rep = jnp.repeat(batch.dec_ids, K, axis=0)          # [B*K, Ld]
+        labels_rep = jnp.repeat(batch.labels, K, axis=0)
+        enc_hidden = self.reader.encode(flat_ids, deterministic)
+        enc_dec_mask = masks.attention_mask(dec_rep, flat_ids)
+        logits = self.reader.decode(dec_rep, enc_hidden, enc_dec_mask,
+                                    deterministic)
+        gold = _gold_log_probs(logits, labels_rep)               # [B*K, Ld]
+        return gold.reshape(B, K, Ld)
+
+    # ---- generation-time entry points ---------------------------------------
+
+    def encode_for_generation(self, batch: EMDR2Batch,
+                              deterministic: bool = True):
+        """First decoding step: retrieval scores + FiD encoder states, cached
+        and reused by subsequent steps (parity with the eval branch,
+        emdr2_model.py:96,213-214 and search_strategy.py:144-156)."""
+        topk_log_probs = self._topk_log_probs(batch, deterministic)
+        enc_hidden, enc_flat_ids = self._fid_encode(batch.reader_ids, deterministic)
+        return topk_log_probs, enc_hidden, enc_flat_ids
+
+    def decode_step(self, dec_ids, enc_hidden, enc_flat_ids, position_offset=0):
+        """Incremental decode over cached encoder states (KV-cached; the
+        reference re-runs the full prefix each step — SURVEY §3.6 note)."""
+        enc_dec_mask = masks.attention_mask(jnp.ones_like(dec_ids), enc_flat_ids)
+        return self.reader.decode(
+            dec_ids, enc_hidden, enc_dec_mask, deterministic=True,
+            decode_step=True, position_offset=position_offset)
+
+    def decode_full_prefix(self, dec_ids, enc_hidden, enc_flat_ids):
+        """Whole-prefix decode (no cache) — used by beam search scoring and
+        as a cross-check for the incremental path."""
+        enc_dec_mask = masks.attention_mask(dec_ids, enc_flat_ids)
+        return self.reader.decode(dec_ids, enc_hidden, enc_dec_mask,
+                                  deterministic=True)

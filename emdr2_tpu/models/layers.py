@@ -1,0 +1,294 @@
+"""Core transformer building blocks (Flax linen).
+
+Capability parity with the reference Megatron trunk
+(``/root/reference/megatron/model/transformer.py``): pre-LN blocks, fused QKV
+self-attention, decoder cross-attention, tanh-GELU MLP, learned absolute
+position embeddings, optional tokentype embeddings, residual-scaled output
+init. Architecture is TPU-first:
+
+- masks are additive biases fused into the softmax by XLA — this replaces the
+  reference's two CUDA fused-softmax kernels (``megatron/fused_kernels/``);
+- tensor parallelism is expressed as *logical axis metadata* on every kernel
+  (``nn.with_logical_partitioning``) resolved against a device mesh at jit
+  time — replacing the mpu Column/RowParallelLinear machinery
+  (``mpu/layers.py:170-363``) with compiler-inserted collectives;
+- incremental decoding uses a KV cache variable collection (the reference
+  re-runs the decoder over the whole prefix each step,
+  ``search_strategy.py:200-227`` — a deliberate improvement here);
+- activation checkpointing is ``jax.checkpoint`` policy at the layer level
+  (replacing ``mpu/random.py:264-319``).
+
+Logical axes used: "batch", "length", "embed", "mlp", "heads", "kv", "vocab".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emdr2_tpu.config import TransformerConfig
+
+with_lp = nn.with_logical_partitioning
+sharding_constraint = nn.with_logical_constraint
+
+
+def normal_init(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+def scaled_init(std: float, num_layers: int):
+    """Output-layer init scaled by 1/sqrt(2*num_layers)
+    (reference ``model/utils.py:33-41``)."""
+    return nn.initializers.normal(stddev=std / (2.0 * num_layers) ** 0.5)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """Tanh-approximated GELU, matching the reference's fused bias-gelu
+    (``model/fused_bias_gelu.py:31-60``). XLA fuses this into the matmul."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm in fp32 regardless of compute dtype (stability at bf16)."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", with_lp(nn.initializers.ones, ("embed",)),
+                           (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", with_lp(nn.initializers.zeros, ("embed",)),
+                          (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(orig_dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with logical-axis partitioning on the kernel."""
+
+    features: int
+    kernel_axes: tuple
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", with_lp(self.kernel_init, self.kernel_axes),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", with_lp(nn.initializers.zeros, (self.kernel_axes[-1],)),
+                (self.features,), jnp.float32,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Embeddings(nn.Module):
+    """Word + learned absolute position + optional tokentype embeddings.
+
+    Parity with the reference Embedding (``model/language_model.py:98-181``).
+    Uses setup-style params so ``attend`` (tied LM-head projection,
+    ``t5_model.py:54-81``) can coexist with ``__call__``.
+    """
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = self.param(
+            "word_embeddings", with_lp(normal_init(cfg.init_std), ("vocab", "embed")),
+            (cfg.vocab_size, cfg.hidden_size), jnp.float32,
+        )
+        self.position_embeddings = self.param(
+            "position_embeddings", with_lp(normal_init(cfg.init_std), (None, "embed")),
+            (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32,
+        )
+        if cfg.num_tokentypes > 0:
+            self.tokentype_embeddings = self.param(
+                "tokentype_embeddings", with_lp(normal_init(cfg.init_std), (None, "embed")),
+                (cfg.num_tokentypes, cfg.hidden_size), jnp.float32,
+            )
+        self.dropout = nn.Dropout(cfg.hidden_dropout)
+
+    def __call__(self, ids, position_offset: int = 0, tokentype_ids=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        x = jnp.take(self.word_embeddings, ids, axis=0)
+        positions = position_offset + jnp.arange(ids.shape[-1])
+        x = x + jnp.take(self.position_embeddings, positions, axis=0)
+        if cfg.num_tokentypes > 0:
+            if tokentype_ids is None:
+                tokentype_ids = jnp.zeros_like(ids)
+            x = x + jnp.take(self.tokentype_embeddings, tokentype_ids, axis=0)
+        x = x.astype(cfg.dtype)
+        return self.dropout(x, deterministic=deterministic)
+
+    def attend(self, hidden):
+        """Project hidden states onto the (tied) embedding matrix — used by
+        the T5 LM head (``t5_model.py:54-81`` ties the word embedding)."""
+        return jnp.dot(hidden, self.word_embeddings.T.astype(hidden.dtype),
+                       preferred_element_type=jnp.float32)
+
+
+class Attention(nn.Module):
+    """Multi-head attention: fused-QKV self-attention or cross-attention.
+
+    Parity with ``ParallelAttention`` (``transformer.py:111-408``): scale by
+    1/sqrt(head_dim), additive mask bias, attention dropout. Fused into the
+    softmax by XLA instead of the reference's hand-written CUDA kernels.
+    Supports incremental decoding via the "cache" variable collection.
+    """
+
+    config: TransformerConfig
+    cross_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv=None, bias=None, deterministic: bool = True,
+                 decode: bool = False):
+        cfg = self.config
+        h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+        if self.cross_attention:
+            q = Dense(h, ("embed", "heads"), dtype=cfg.dtype,
+                      kernel_init=normal_init(cfg.init_std), name="query")(x)
+            kv_proj = Dense(2 * h, ("embed", "heads"), dtype=cfg.dtype,
+                            kernel_init=normal_init(cfg.init_std), name="key_value")(kv)
+            k, v = jnp.split(kv_proj, 2, axis=-1)
+        else:
+            qkv = Dense(3 * h, ("embed", "heads"), dtype=cfg.dtype,
+                        kernel_init=normal_init(cfg.init_std), name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (nh, hd))
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if decode and not self.cross_attention:
+            # Incremental KV cache (flax decode pattern). The reference has no
+            # KV cache at all (search_strategy.py:200-227 note in SURVEY §3.6).
+            is_init = not self.has_variable("cache", "cached_key")
+            max_len = cfg.max_position_embeddings
+            ck = self.variable("cache", "cached_key", jnp.zeros,
+                               x.shape[:-2] + (max_len, nh, hd), cfg.dtype)
+            cv = self.variable("cache", "cached_value", jnp.zeros,
+                               x.shape[:-2] + (max_len, nh, hd), cfg.dtype)
+            ci = self.variable("cache", "cache_index",
+                               lambda: jnp.zeros((), jnp.int32))
+            if not is_init:
+                idx = ci.value
+                ck.value = jax.lax.dynamic_update_slice_in_dim(ck.value, k, idx, -3)
+                cv.value = jax.lax.dynamic_update_slice_in_dim(cv.value, v, idx, -3)
+                ci.value = idx + q.shape[-3]
+                k, v = ck.value, cv.value
+                # mask out cache slots beyond the current index
+                kpos = jnp.arange(max_len)
+                valid = kpos[None, :] < ci.value
+                cache_bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+                bias = cache_bias[None, None, None, :] if bias is None else (
+                    bias + cache_bias[None, None, None, :])
+
+        q = q * (hd ** -0.5)
+        scores = jnp.einsum("...qnd,...knd->...nqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("...nqk,...knd->...qnd", probs, v,
+                         preferred_element_type=cfg.dtype)
+        out = out.reshape(out.shape[:-2] + (h,))
+        out = Dense(h, ("heads", "embed"), dtype=cfg.dtype,
+                    kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
+                    name="out")(out)
+        return out
+
+
+class MLP(nn.Module):
+    """h -> ffn -> gelu -> h (``ParallelMLP``, transformer.py:58-108)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        y = Dense(cfg.ffn_size, ("embed", "mlp"), dtype=cfg.dtype,
+                  kernel_init=normal_init(cfg.init_std), name="wi")(x)
+        y = gelu_tanh(y)
+        y = Dense(cfg.hidden_size, ("mlp", "embed"), dtype=cfg.dtype,
+                  kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
+                  name="wo")(y)
+        return y
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN block: [cross-attn for decoders] + self-attn + MLP with
+    dropout-residual adds (``ParallelTransformerLayer``, transformer.py:422-563)."""
+
+    config: TransformerConfig
+    has_cross_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
+                 deterministic: bool = True, decode: bool = False):
+        cfg = self.config
+
+        def resid(y, r):
+            y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
+            return r + y
+
+        h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_self")(x)
+        h = Attention(cfg, name="self_attention")(
+            h, bias=self_bias, deterministic=deterministic, decode=decode)
+        x = resid(h, x)
+
+        if self.has_cross_attention:
+            h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_cross")(x)
+            h = Attention(cfg, cross_attention=True, name="cross_attention")(
+                h, kv=enc_out, bias=cross_bias, deterministic=deterministic)
+            x = resid(h, x)
+
+        h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_mlp")(x)
+        h = MLP(cfg, name="mlp")(h, deterministic=deterministic)
+        x = resid(h, x)
+        return x
+
+
+class TransformerStack(nn.Module):
+    """A stack of layers + final LayerNorm (``ParallelTransformer``,
+    transformer.py:566-699). ``config.remat`` enables per-layer activation
+    checkpointing (replacing mpu/random.py:264-319)."""
+
+    config: TransformerConfig
+    has_cross_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
+                 deterministic: bool = True, decode: bool = False):
+        cfg = self.config
+        layer_cls = TransformerLayer
+        if cfg.remat and not decode:
+            layer_cls = nn.remat(
+                TransformerLayer,
+                static_argnums=(5, 6),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, self.has_cross_attention, name=f"layer_{i}")(
+                x, enc_out, self_bias, cross_bias, deterministic, decode)
+        x = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_final")(x)
+        return x

@@ -1,0 +1,88 @@
+"""Megatron-style T5 reader (encoder/decoder with learned absolute positions).
+
+Parity target: ``/root/reference/megatron/model/t5_model.py:84-202`` and the
+language-model shell (``model/language_model.py:45-428``): shared word
+embeddings between encoder and decoder, learned (not relative-bias) position
+embeddings, a tied LM head with a trainable bias (``T5LMHead``, t5_model.py:
+54-81), ``output_enc_hidden`` to return encoder states, and
+``enc_hidden_states`` injection that skips the encoder entirely
+(language_model.py:324-330) — the hook Fusion-in-Decoder uses to cross-attend
+over K independently-encoded passages.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from emdr2_tpu.config import TransformerConfig
+from emdr2_tpu.data import masks
+from emdr2_tpu.models.layers import (
+    Embeddings,
+    TransformerStack,
+    sharding_constraint,
+    with_lp,
+)
+
+
+class T5Model(nn.Module):
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.shared_embeddings = Embeddings(cfg)
+        self.encoder = TransformerStack(cfg)
+        self.decoder = TransformerStack(cfg, has_cross_attention=True)
+        # T5LMHead bias (t5_model.py:54-81); the projection is tied to the
+        # word embedding.
+        self.lm_bias = self.param(
+            "lm_bias", with_lp(nn.initializers.zeros, ("vocab",)),
+            (cfg.vocab_size,), jnp.float32,
+        )
+
+    def encode(self, enc_ids, deterministic: bool = True):
+        """Encoder-only forward -> [B, L, H] hidden states
+        (``output_enc_hidden`` path, t5_model.py:121-127)."""
+        cfg = self.config
+        x = self.shared_embeddings(enc_ids, deterministic=deterministic)
+        x = sharding_constraint(x, ("batch", "length", "embed"))
+        bias = masks.mask_to_bias(masks.self_attention_mask(enc_ids))[:, None, :, :]
+        return self.encoder(x, self_bias=bias, deterministic=deterministic)
+
+    def decode(self, dec_ids, enc_hidden, enc_dec_mask,
+               deterministic: bool = True, decode_step: bool = False,
+               position_offset: int = 0):
+        """Decoder forward over injected encoder states -> [B, L, V] logits.
+
+        ``enc_dec_mask`` is [B, Ldec, Lenc] bool (True=may attend); during
+        incremental decoding (``decode_step``) Ldec is the new suffix length
+        and self-attention causality comes from the KV-cache index.
+        """
+        cfg = self.config
+        x = self.shared_embeddings(dec_ids, position_offset=position_offset,
+                                   deterministic=deterministic)
+        self_bias = None
+        if not decode_step:
+            self_bias = masks.mask_to_bias(
+                masks.self_attention_mask(dec_ids, causal=True))[:, None, :, :]
+        cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
+        x = self.decoder(x, enc_out=enc_hidden, self_bias=self_bias,
+                         cross_bias=cross_bias, deterministic=deterministic,
+                         decode=decode_step)
+        x = sharding_constraint(x, ("batch", "length", "embed"))
+        logits = self.shared_embeddings.attend(x) + self.lm_bias
+        return logits
+
+    def __call__(self, enc_ids, dec_ids, deterministic: bool = True,
+                 enc_hidden=None, enc_dec_mask=None, output_enc_hidden=False):
+        """Full seq2seq forward (t5_model.py:108-154). Returns logits, or
+        encoder hidden states when ``output_enc_hidden``."""
+        if enc_hidden is None:
+            enc_hidden = self.encode(enc_ids, deterministic)
+        if output_enc_hidden:
+            return enc_hidden
+        if enc_dec_mask is None:
+            enc_dec_mask = masks.attention_mask(dec_ids, enc_ids)
+        return self.decode(dec_ids, enc_hidden, enc_dec_mask, deterministic)

@@ -9,7 +9,13 @@ Must set the env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (a real TPU
+# behind a tunnel), and sitecustomize's axon register() additionally calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter startup,
+# overriding the env var. Tests must never touch the TPU tunnel: override the
+# env AND re-update the config after import (backends initialize lazily, so
+# this takes effect as long as nothing called jax.devices() yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +24,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, not the axon TPU tunnel"
+)
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,181 @@
+"""Model forward-pass tests on tiny shapes (CPU).
+
+The reference has no tests; these check the structural invariants SURVEY.md §4
+proposes: shapes, masking semantics, gradient boundaries, decode-cache parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdr2_tpu.config import tiny_config
+from emdr2_tpu.models import DualEncoder, EMDR2Batch, EMDR2Model, T5Model
+from emdr2_tpu.models.bert import BertEncoder
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config()
+
+
+def rngs():
+    return {"params": jax.random.PRNGKey(0)}
+
+
+class TestBert:
+    def test_cls_embedding_shape(self, cfg):
+        model = BertEncoder(cfg.retriever.encoder)
+        ids = jnp.array([[2, 5, 6, 0], [2, 7, 0, 0]])
+        params = model.init(rngs(), ids)
+        out = model.apply(params, ids, method=BertEncoder.embed)
+        assert out.shape == (2, cfg.retriever.encoder.hidden_size)
+
+    def test_padding_invariance(self, cfg):
+        """CLS embedding must not depend on pad-position token content."""
+        model = BertEncoder(cfg.retriever.encoder)
+        a = jnp.array([[2, 5, 6, 0, 0]])
+        b = jnp.array([[2, 5, 6, 0, 0]])
+        params = model.init(rngs(), a)
+        ea = model.apply(params, a, method=BertEncoder.embed)
+        # changing what embedding pad ids would produce isn't possible via ids
+        # (pad id is fixed), so check determinism + that an extra pad col
+        # doesn't change the result
+        c = jnp.array([[2, 5, 6, 0, 0, 0, 0]])
+        ec = model.apply(params, c, method=BertEncoder.embed)
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(ec), atol=1e-5)
+
+    def test_dual_encoder_towers_differ(self, cfg):
+        model = DualEncoder(cfg.retriever)
+        ids = jnp.array([[2, 5, 6, 0]])
+        params = model.init(rngs(), ids, ids)
+        q, c = model.apply(params, ids, ids)
+        assert q.shape == c.shape
+        assert q.dtype == jnp.float32
+        # separate towers -> different random init -> different embeddings
+        assert not np.allclose(np.asarray(q), np.asarray(c))
+
+
+class TestT5:
+    def test_seq2seq_logits(self, cfg):
+        tc = cfg.reader.transformer
+        model = T5Model(tc)
+        enc = jnp.array([[2, 5, 6, 7, 0, 0]])
+        dec = jnp.array([[1, 8, 9, 0]])
+        params = model.init(rngs(), enc, dec)
+        logits = model.apply(params, enc, dec)
+        assert logits.shape == (1, 4, tc.vocab_size)
+
+    def test_enc_hidden_injection_matches_internal(self, cfg):
+        """enc_hidden_states injection must equal the fused path
+        (language_model.py:324-330 parity)."""
+        tc = cfg.reader.transformer
+        model = T5Model(tc)
+        enc = jnp.array([[2, 5, 6, 7, 0, 0]])
+        dec = jnp.array([[1, 8, 9, 0]])
+        params = model.init(rngs(), enc, dec)
+        full = model.apply(params, enc, dec)
+        hidden = model.apply(params, enc, method=T5Model.encode)
+        from emdr2_tpu.data import masks
+        injected = model.apply(
+            params, dec, hidden, masks.attention_mask(dec, enc),
+            method=T5Model.decode)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(injected),
+                                   atol=1e-5)
+
+    def test_causality(self, cfg):
+        """Changing a future decoder token must not affect earlier logits."""
+        tc = cfg.reader.transformer
+        model = T5Model(tc)
+        enc = jnp.array([[2, 5, 6, 0]])
+        dec_a = jnp.array([[1, 8, 9, 10]])
+        dec_b = jnp.array([[1, 8, 9, 11]])
+        params = model.init(rngs(), enc, dec_a)
+        la = model.apply(params, enc, dec_a)
+        lb = model.apply(params, enc, dec_b)
+        np.testing.assert_allclose(np.asarray(la[:, :3]), np.asarray(lb[:, :3]),
+                                   atol=1e-5)
+
+
+def make_batch(cfg, key=0):
+    rng = np.random.RandomState(key)
+    B, K = 2, cfg.index.topk
+    rc, rr = cfg.retriever, cfg.reader
+    V = cfg.retriever.encoder.vocab_size
+
+    def ids(*shape, maxlen=None):
+        x = rng.randint(2, V - 1, size=shape).astype(np.int32)
+        return x
+
+    qb = ids(B, rc.query_seq_len)
+    cb = ids(B, K, rc.seq_len)
+    return EMDR2Batch(
+        query_bert_ids=jnp.asarray(qb),
+        context_bert_ids=jnp.asarray(cb),
+        context_bert_types=jnp.zeros_like(jnp.asarray(cb)),
+        reader_ids=jnp.asarray(ids(B, K, rr.seq_len)),
+        reader_one_ctx_ids=jnp.asarray(ids(B, K, rr.seq_len)),
+        dec_ids=jnp.asarray(ids(B, rr.decoder_seq_len)),
+        labels=jnp.asarray(ids(B, rr.decoder_seq_len)),
+        loss_mask=jnp.ones((B, rr.decoder_seq_len), jnp.float32),
+    )
+
+
+class TestEMDR2:
+    @pytest.fixture(scope="class")
+    def setup(self, cfg):
+        model = EMDR2Model(cfg)
+        batch = make_batch(cfg)
+        params = model.init(rngs(), batch)
+        return model, params, batch
+
+    def test_forward_shapes(self, cfg, setup):
+        model, params, batch = setup
+        out = model.apply(params, batch)
+        B, K = 2, cfg.index.topk
+        Ld = cfg.reader.decoder_seq_len
+        V = cfg.reader.transformer.vocab_size
+        assert out.lm_logits.shape == (B, Ld, V)
+        assert out.topk_log_probs.shape == (B, K)
+        assert out.gold_log_probs.shape == (B, K, Ld)
+        # log_softmax normalization
+        np.testing.assert_allclose(
+            np.exp(np.asarray(out.topk_log_probs)).sum(-1), 1.0, rtol=1e-5)
+        assert np.all(np.asarray(out.gold_log_probs) <= 0)
+
+    def test_retriever_gradient_flows_only_through_topk(self, cfg, setup):
+        """EMDR2 invariant (train_e2eqa.py:163-177): the teacher is
+        stop-gradient; retriever params get grad only via topk_log_probs."""
+        model, params, batch = setup
+
+        def loss_topk_only(p):
+            out = model.apply(p, batch)
+            return jnp.sum(out.gold_log_probs)  # stop-grad teacher only
+
+        g = jax.grad(lambda p: loss_topk_only(p))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.allclose(np.asarray(l), 0) for l in leaves)
+
+        def loss_through_topk(p):
+            out = model.apply(p, batch)
+            return jnp.sum(out.topk_log_probs)
+
+        g2 = jax.grad(loss_through_topk)(params)
+        ret_grads = jax.tree_util.tree_leaves(g2["params"]["retriever"])
+        assert any(not np.allclose(np.asarray(l), 0) for l in ret_grads)
+
+    def test_embed_query_matches_inloss_recompute(self, cfg, setup):
+        """Stage-1 search embeddings must equal the values used for
+        topk_log_probs (the reference computes them once; we recompute —
+        same weights, deterministic, so identical)."""
+        model, params, batch = setup
+        q1 = model.apply(params, batch.query_bert_ids,
+                         method=EMDR2Model.embed_query)
+        # recompute inside _topk_log_probs path
+        q2 = model.apply(params, batch.query_bert_ids,
+                         method=EMDR2Model.embed_query)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
