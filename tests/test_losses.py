@@ -1,0 +1,215 @@
+"""Golden-value tests for the loss functions against plain-numpy references.
+
+These re-derive the math of train_e2eqa.py:72-123,184-214 and
+train_dense_retriever.py:162-196 independently in numpy (float64) and check
+the jax implementations match.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdr2_tpu.training import (
+    dpr_in_batch_loss,
+    emdr2_retriever_loss,
+    emdr2_total_loss,
+    kl_div_retriever_loss,
+    reader_cross_entropy,
+)
+
+
+def np_log_softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    return x - np.log(np.exp(x).sum(axis=axis, keepdims=True))
+
+
+@pytest.fixture
+def data():
+    rng = np.random.RandomState(0)
+    B, K, L, V = 3, 4, 6, 11
+    lm_logits = rng.randn(B, L, V).astype(np.float64)
+    teacher_logits = rng.randn(B, K, L, V).astype(np.float64)
+    topk_scores = rng.randn(B, K).astype(np.float64)
+    topk_log_probs = np_log_softmax(topk_scores, axis=-1)
+    labels = rng.randint(1, V, size=(B, L))
+    loss_mask = (rng.rand(B, L) > 0.3).astype(np.float64)
+    loss_mask[:, 0] = 1.0  # ensure nonempty
+    gold_log_probs = np.take_along_axis(
+        np_log_softmax(teacher_logits, -1), labels[:, None, :, None], axis=-1
+    )[..., 0]
+    return dict(lm_logits=lm_logits, gold_log_probs=gold_log_probs,
+                topk_log_probs=topk_log_probs, labels=labels,
+                loss_mask=loss_mask, B=B, K=K, L=L, V=V)
+
+
+class TestReaderCE:
+    def test_matches_numpy(self, data):
+        lp = np_log_softmax(data["lm_logits"], -1)
+        gold = np.take_along_axis(lp, data["labels"][..., None], -1)[..., 0]
+        expected = -(gold * data["loss_mask"]).sum() / data["loss_mask"].sum()
+        got = reader_cross_entropy(
+            jnp.asarray(data["lm_logits"], jnp.float32),
+            jnp.asarray(data["labels"]),
+            jnp.asarray(data["loss_mask"], jnp.float32))
+        np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+class TestEMDR2Loss:
+    def test_marginalized_nll_matches_numpy(self, data):
+        # numpy golden of train_e2eqa.py:72-107
+        joint = data["topk_log_probs"][:, :, None] + data["gold_log_probs"]
+        m = joint.max(axis=1)
+        marginal = m + np.log(np.exp(joint - m[:, None, :]).sum(axis=1))
+        expected = -(marginal * data["loss_mask"]).sum() / data["loss_mask"].sum()
+
+        aux = emdr2_retriever_loss(
+            jnp.asarray(data["gold_log_probs"], jnp.float32),
+            jnp.asarray(data["topk_log_probs"], jnp.float32),
+            jnp.asarray(data["labels"]),
+            jnp.asarray(data["loss_mask"], jnp.float32),
+            eos_id=9)
+        np.testing.assert_allclose(float(aux.retriever_loss), expected, rtol=1e-5)
+
+    def test_retriever_utility_and_null_block(self, data):
+        # golden of :110-121
+        joint = data["topk_log_probs"][:, :, None] + data["gold_log_probs"]
+        m = joint.max(axis=1)
+        marginal = m + np.log(np.exp(joint - m[:, None, :]).sum(axis=1))
+        eos_id = 9
+        util_mask = data["loss_mask"] * (data["labels"] < eos_id)
+        utility = ((marginal - data["gold_log_probs"][:, -1, :]) * util_mask
+                   ).sum() / util_mask.sum()
+        null_block = -(data["gold_log_probs"][:, -1, :] * data["loss_mask"]
+                       ).sum() / data["loss_mask"].sum()
+
+        aux = emdr2_retriever_loss(
+            jnp.asarray(data["gold_log_probs"], jnp.float32),
+            jnp.asarray(data["topk_log_probs"], jnp.float32),
+            jnp.asarray(data["labels"]),
+            jnp.asarray(data["loss_mask"], jnp.float32),
+            eos_id=eos_id)
+        np.testing.assert_allclose(float(aux.retriever_utility), utility, rtol=1e-4)
+        np.testing.assert_allclose(float(aux.null_block_lm_loss), null_block, rtol=1e-5)
+
+    def test_more_relevant_doc_lowers_loss(self, data):
+        """Sanity: boosting the retriever prob of the doc with the highest
+        gold log-prob must reduce the loss (this is the training signal)."""
+        gold = data["gold_log_probs"]
+        best_doc = gold[..., 0].argmax(axis=1)  # per example
+        tweaked = data["topk_log_probs"].copy()
+        for b, k in enumerate(best_doc):
+            tweaked[b, k] += 2.0
+        tweaked = np_log_softmax(tweaked, -1)
+
+        def loss_of(tlp):
+            return float(emdr2_retriever_loss(
+                jnp.asarray(gold, jnp.float32),
+                jnp.asarray(tlp, jnp.float32),
+                jnp.asarray(data["labels"]),
+                jnp.asarray(data["loss_mask"], jnp.float32), 9).retriever_loss)
+
+        assert loss_of(tweaked) < loss_of(data["topk_log_probs"])
+
+
+class TestKLDiv:
+    def test_matches_numpy(self, data):
+        lm, glp, tlp = (data["loss_mask"], data["gold_log_probs"],
+                        data["topk_log_probs"])
+        teacher_scores = (glp * lm[:, None, :]).sum(2) / lm.sum(1)[:, None]
+        tp = np.exp(np_log_softmax(teacher_scores, 1))
+        tlogp = np_log_softmax(teacher_scores, 1)
+        expected = (tp * (tlogp - tlp)).sum(1).mean()
+        got = kl_div_retriever_loss(
+            jnp.asarray(glp, jnp.float32), jnp.asarray(tlp, jnp.float32),
+            jnp.asarray(lm, jnp.float32))
+        np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+    def test_zero_when_matching(self, data):
+        """KL is 0 when the retriever equals the teacher distribution."""
+        lm, glp = data["loss_mask"], data["gold_log_probs"]
+        teacher_scores = (glp * lm[:, None, :]).sum(2) / lm.sum(1)[:, None]
+        tlogp = np_log_softmax(teacher_scores, 1)
+        got = kl_div_retriever_loss(
+            jnp.asarray(glp, jnp.float32), jnp.asarray(tlogp, jnp.float32),
+            jnp.asarray(lm, jnp.float32))
+        assert abs(float(got)) < 1e-6
+
+
+class TestTotalLoss:
+    def test_composition(self, data):
+        total, aux = emdr2_total_loss(
+            jnp.asarray(data["lm_logits"], jnp.float32),
+            jnp.asarray(data["topk_log_probs"], jnp.float32),
+            jnp.asarray(data["gold_log_probs"], jnp.float32),
+            jnp.asarray(data["labels"]),
+            jnp.asarray(data["loss_mask"], jnp.float32),
+            eos_id=9)
+        np.testing.assert_allclose(
+            float(total), float(aux.lm_loss) + float(aux.retriever_loss), rtol=1e-6)
+
+    def test_no_update_retriever(self, data):
+        total, aux = emdr2_total_loss(
+            jnp.asarray(data["lm_logits"], jnp.float32),
+            jnp.asarray(data["topk_log_probs"], jnp.float32),
+            jnp.asarray(data["gold_log_probs"], jnp.float32),
+            jnp.asarray(data["labels"]),
+            jnp.asarray(data["loss_mask"], jnp.float32),
+            eos_id=9, update_retriever=False)
+        assert float(aux.retriever_loss) == 0.0
+        np.testing.assert_allclose(float(total), float(aux.lm_loss), rtol=1e-6)
+
+
+class TestDPRLoss:
+    def test_single_device_matches_numpy(self):
+        rng = np.random.RandomState(1)
+        b, c, d = 4, 8, 16  # 4 positives + 4 hard negatives
+        q = rng.randn(b, d)
+        ctx = rng.randn(c, d)
+        scores = q @ ctx.T / np.sqrt(d)
+        lp = np_log_softmax(scores, 1)
+        expected = -lp[np.arange(b), np.arange(b)].mean()
+        loss, correct = dpr_in_batch_loss(
+            jnp.asarray(q, jnp.float32), jnp.asarray(ctx, jnp.float32),
+            hidden_size=d, score_scaling=True)
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+        assert 0 <= float(correct) <= b
+
+    def test_all_gather_grad_preserved(self):
+        """Multi-device: loss under shard_map matches the single-device loss
+        on the concatenated batch, and grads flow (the reference hand-codes
+        this with detach+replace, train_dense_retriever.py:134-158)."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        devs = np.array(jax.devices()[:4])
+        mesh = Mesh(devs, ("dp",))
+        rng = np.random.RandomState(2)
+        b, c, d = 2, 4, 8
+        W = 4
+        q = rng.randn(W * b, d).astype(np.float32)
+        ctx = rng.randn(W * c, d).astype(np.float32)
+
+        def per_shard(ql, cl):
+            loss, _ = dpr_in_batch_loss(ql, cl, hidden_size=d,
+                                        score_scaling=True, axis_name="dp")
+            return loss
+
+        f = shard_map(per_shard, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                      out_specs=P())
+
+        loss_sharded = float(f(q, ctx))
+
+        # single-device equivalent with the reference's global label layout
+        labels = np.concatenate([i * c + np.arange(b) for i in range(W)])
+        loss_single, _ = dpr_in_batch_loss(
+            jnp.asarray(q), jnp.asarray(ctx), hidden_size=d,
+            score_scaling=True, labels=jnp.asarray(labels))
+        np.testing.assert_allclose(loss_sharded, float(loss_single), rtol=1e-5)
+
+        g = jax.grad(lambda q_: f(q_, ctx))(q)
+        assert not np.allclose(np.asarray(g), 0)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
