@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark: top-20 MIPS queries/sec/chip over the EMDR2 evidence
+corpus scale (21M passages sharded over 16 chips -> 1.31M x 768 bf16 per chip).
+
+Baseline target (BASELINE.md): >= 10,000 queries/sec/chip. The reference has
+no published throughput numbers; 10k/s is the driver-provided north star.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emdr2_tpu.config import IndexConfig
+from emdr2_tpu.ops import mips_topk
+
+BASELINE_QPS = 10_000.0
+
+
+def main():
+    cfg = IndexConfig()
+    d, k, nq = cfg.embed_dim, 20, 512
+    # per-chip shard of the 21M-passage corpus on a 16-chip system
+    n = (21_015_324 // 16 // cfg.chunk_rows) * cfg.chunk_rows
+
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu:  # smoke-scale fallback so the bench still runs anywhere
+        n, nq = 8192, 64
+
+    e = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    q = jax.random.normal(jax.random.PRNGKey(1), (nq, d), jnp.bfloat16)
+
+    f = jax.jit(functools.partial(
+        mips_topk, k=k, chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
+        query_tile=cfg.query_tile, interpret=on_cpu))
+
+    np.asarray(f(q, e)[0])  # compile + warmup, forced to completion
+
+    iters = 5 if on_cpu else 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(q, e)
+    np.asarray(out[0])  # drain the queue
+    dt = (time.time() - t0) / iters
+
+    qps = nq / dt
+    print(json.dumps({
+        "metric": "mips_top20_queries_per_sec_per_chip_21M",
+        "value": round(qps, 1),
+        "unit": "queries/s/chip",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,7 +180,7 @@ class TestDPRLoss:
         on the concatenated batch, and grads flow (the reference hand-codes
         this with detach+replace, train_dense_retriever.py:134-158)."""
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         devs = np.array(jax.devices()[:4])
         mesh = Mesh(devs, ("dp",))

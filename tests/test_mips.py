@@ -1,0 +1,122 @@
+"""MIPS kernel tests: exactness vs numpy, fused-kernel recall, sharded merge.
+
+Mirrors SURVEY.md §4's proposal: recall@k of the fused kernel against exact
+numpy top-k (BASELINE config 1 is the 100k-passage variant of this), plus the
+multi-device merge on the virtual CPU mesh.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from emdr2_tpu.ops import exact_topk, mips_topk, sharded_mips_topk
+
+
+def np_topk(q, e, k):
+    scores = q.astype(np.float32) @ e.astype(np.float32).T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+class TestExact:
+    def test_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        q = rng.randn(16, 64).astype(np.float32)
+        e = rng.randn(1000, 64).astype(np.float32)
+        vals, idx = exact_topk(jnp.asarray(q), jnp.asarray(e), 10)
+        nv, ni = np_topk(q, e, 10)
+        np.testing.assert_allclose(np.asarray(vals), nv, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("n,d,k,chunk,group", [
+        (4096, 64, 8, 512, 16),
+        (5000, 96, 20, 1024, 8),    # non-multiple N, non-128 d
+        (2048, 128, 4, 256, 8),
+    ])
+    def test_high_recall_vs_exact(self, n, d, k, chunk, group):
+        rng = np.random.RandomState(1)
+        q = rng.randn(24, d).astype(np.float32)
+        e = rng.randn(n, d).astype(np.float32)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), k,
+                              chunk_rows=chunk, group_size=group,
+                              query_tile=8, interpret=True)
+        _, ni = np_topk(q, e, k)
+        recall = np.mean([
+            len(set(np.asarray(idx)[i]) & set(ni[i])) / k
+            for i in range(q.shape[0])
+        ])
+        assert recall >= 0.95, f"recall {recall}"
+        # scores of returned rows must be the true inner products
+        true_scores = np.take_along_axis(
+            q.astype(np.float32) @ e.T, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(vals), true_scores, rtol=1e-4)
+
+    def test_group_size_one_is_exact(self):
+        """group_size=1 keeps every row as its own candidate -> exact."""
+        rng = np.random.RandomState(2)
+        q = rng.randn(8, 32).astype(np.float32)
+        e = rng.randn(2048, 32).astype(np.float32)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 5,
+                              chunk_rows=512, group_size=1, query_tile=8,
+                              interpret=True)
+        nv, ni = np_topk(q, e, 5)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+        np.testing.assert_allclose(np.asarray(vals), nv, rtol=1e-5)
+
+    def test_padding_rows_never_returned(self):
+        """N not a chunk multiple: padded rows must not appear in results."""
+        rng = np.random.RandomState(3)
+        q = rng.randn(8, 32).astype(np.float32)
+        e = rng.randn(700, 32).astype(np.float32)
+        _, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 10,
+                           chunk_rows=512, group_size=4, query_tile=8,
+                           interpret=True)
+        assert np.asarray(idx).max() < 700
+
+    def test_under_jit(self):
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.randn(8, 32), jnp.float32)
+        e = jnp.asarray(rng.randn(1024, 32), jnp.float32)
+        f = jax.jit(functools.partial(mips_topk, k=4, chunk_rows=256,
+                                      group_size=1, query_tile=8,
+                                      interpret=True))
+        vals, idx = f(q, e)
+        nv, ni = np_topk(np.asarray(q), np.asarray(e), 4)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+
+
+class TestSharded:
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_matches_global_exact(self, exact):
+        """8-way sharded search == exact search over the concatenated index,
+        and each shard gets exactly its own query rows back."""
+        W, b, d, k = 8, 4, 32, 6
+        n_per = 512
+        rng = np.random.RandomState(5)
+        q = rng.randn(W * b, d).astype(np.float32)
+        e = rng.randn(W * n_per, d).astype(np.float32)
+
+        mesh = Mesh(np.array(jax.devices()[:W]), ("idx",))
+        f = shard_map(
+            functools.partial(sharded_mips_topk, k=k, axis_name="idx",
+                              exact=exact, chunk_rows=128, group_size=1,
+                              query_tile=8, interpret=True),
+            mesh=mesh, in_specs=(P("idx"), P("idx")), out_specs=P("idx"),
+            check_vma=False,  # pallas_call out_shapes carry no vma metadata
+        )
+        vals, idx = jax.jit(f)(q, e)
+        nv, ni = np_topk(q, e, k)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+        np.testing.assert_allclose(np.asarray(vals), nv, rtol=1e-4)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
