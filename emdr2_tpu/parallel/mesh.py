@@ -1,0 +1,81 @@
+"""Device mesh construction and logical-axis partitioning rules.
+
+Replaces the reference's process-group machinery
+(``/root/reference/megatron/mpu/initialize.py:53-315``): instead of NCCL/Gloo
+groups built from ranks, one ``jax.sharding.Mesh`` carries named axes and all
+parallelism is expressed as shardings resolved against it:
+
+- ``dp``  — data parallelism: batch sharding; gradient psum is inserted by
+            the compiler (replacing LocalDDP all-reduce,
+            ``model/distributed.py:26-76``). The evidence index is also
+            sharded over ``dp`` (x ``tp``), replacing the MIPS group
+            (``mpu/initialize.py:104-142``).
+- ``tp``  — tensor parallelism: mlp/heads/vocab sharding (replacing the
+            dormant mpu Column/RowParallel layers, ``mpu/layers.py``).
+
+The trainer/indexer rank split (``init_emdr2_groups``, ``:255-263``) maps to
+sub-meshes of the same program — see ``training/async_refresh.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from emdr2_tpu.config import MeshConfig
+
+# logical axis -> mesh axis. Activations: batch over dp. Params: mlp/heads/
+# vocab over tp (Megatron-style column/row split); embed replicated.
+LOGICAL_RULES = (
+    ("batch", "dp"),
+    ("length", None),
+    ("embed", None),
+    ("mlp", "tp"),
+    ("heads", "tp"),
+    ("kv", None),
+    ("vocab", "tp"),
+)
+
+
+def build_mesh(cfg: Optional[MeshConfig] = None,
+               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a [dp, tp] mesh. With cfg=None, uses all devices as dp x 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is None:
+        cfg = MeshConfig(dp=len(devices), tp=1)
+    dp, tp = cfg.dp, cfg.tp
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, cfg.axis_names)
+
+
+def param_shardings(mesh: Mesh, abstract_variables):
+    """Map a pytree of flax logical-partitioning metadata to NamedShardings.
+
+    ``abstract_variables`` is the output of ``jax.eval_shape(model.init, ...)``
+    with flax's logical annotations attached.
+    """
+    logical_spec = nn.get_partition_spec(abstract_variables)
+    return nn.logical_to_mesh_sharding(logical_spec, mesh, LOGICAL_RULES)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, *axes: Optional[str]) -> NamedSharding:
+    """Sharding for host-fed batch arrays; first axis over dp by default."""
+    if not axes:
+        axes = ("dp",)
+    return NamedSharding(mesh, P(*axes))
+
+
+def index_sharding(mesh: Mesh) -> NamedSharding:
+    """Evidence index rows sharded over every device (dp x tp flattened),
+    matching the reference where all 16 GPUs hold index shards
+    (``emdr2_index.py:252-256``)."""
+    return NamedSharding(mesh, P(("dp", "tp")))

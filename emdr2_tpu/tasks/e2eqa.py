@@ -1,0 +1,183 @@
+"""End-to-end OpenQA training task: the EMDR2 retrieve-and-train loop.
+
+Replaces ``/root/reference/tasks/openqa/e2eqa/train_e2eqa.py`` (641 LoC of
+torch training loop). One training step is three stages (SURVEY.md §3.2):
+
+  stage A (jit)   query embeddings -> sharded fused MIPS top-k over the
+                  in-HBM index (emdr2_model.py:98-108 + get_topk)
+  stage B (host)  vectorized passage-id lookup + token postprocess
+                  (emdr2_model.py:250-376)
+  stage C (jit)   the fused differentiable step: fresh query+context
+                  embeddings -> topk_log_probs -> FiD reader -> stop-grad
+                  teacher -> joint loss -> adamw update (training/step.py)
+
+All device arrays are sharded against one mesh; data parallelism, gradient
+psum, and tensor parallelism all come from shardings rather than process
+groups.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from emdr2_tpu.config import EMDR2Config
+from emdr2_tpu.data.evidence import EvidenceCorpus
+from emdr2_tpu.data.postprocess import postprocess_retrieved
+from emdr2_tpu.data.qa_dataset import QABatch
+from emdr2_tpu.data.tokenizer import BertWordPieceTokenizer
+from emdr2_tpu.models import EMDR2Batch, EMDR2Model
+from emdr2_tpu.parallel.mesh import LOGICAL_RULES, param_shardings
+from emdr2_tpu.retrieval.index import ShardedEvidenceIndex
+from emdr2_tpu.training import step as step_lib
+
+
+class E2EQATask:
+    """Owns the jitted stages + host glue for EMDR2 training and inference."""
+
+    def __init__(self, cfg: EMDR2Config, mesh: Mesh,
+                 t5_tokenizer: BertWordPieceTokenizer,
+                 corpus: EvidenceCorpus,
+                 index: ShardedEvidenceIndex,
+                 total_train_iters: int = 1000):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tok = t5_tokenizer
+        self.corpus = corpus
+        self.index = index
+        self.model = EMDR2Model(cfg)
+        self.tx = step_lib.make_optimizer(cfg.train.optimizer, total_train_iters)
+        self._jitted: Dict[str, Callable] = {}
+        self.state: Optional[step_lib.TrainState] = None
+        self.param_sharding = None
+
+    # ------------------------------------------------------------------ setup
+
+    def _sample_device_batch(self, batch_size: int) -> EMDR2Batch:
+        cfg = self.cfg
+        K = cfg.index.topk
+        B = batch_size
+
+        def z(*shape):
+            return jnp.zeros(shape, jnp.int32)
+
+        return EMDR2Batch(
+            query_bert_ids=z(B, cfg.retriever.query_seq_len),
+            context_bert_ids=z(B, K, cfg.retriever.seq_len),
+            context_bert_types=z(B, K, cfg.retriever.seq_len),
+            reader_ids=z(B, K, cfg.reader.seq_len),
+            reader_one_ctx_ids=z(B, K, cfg.reader.seq_len),
+            dec_ids=z(B, cfg.reader.decoder_seq_len),
+            labels=z(B, cfg.reader.decoder_seq_len),
+            loss_mask=jnp.zeros((B, cfg.reader.decoder_seq_len), jnp.float32),
+        )
+
+    def batch_sharding(self) -> EMDR2Batch:
+        dp = NamedSharding(self.mesh, P("dp"))
+        return jax.tree_util.tree_map(lambda _: dp, self._sample_device_batch(1))
+
+    def init_state(self, rng: jax.Array, global_batch_size: int
+                   ) -> step_lib.TrainState:
+        """Initialize sharded params directly on the mesh."""
+        sample = self._sample_device_batch(global_batch_size)
+        abstract = step_lib.abstract_train_state(self.model, sample, self.tx, rng)
+        self.param_sharding = param_shardings(self.mesh, abstract)
+
+        init_fn = jax.jit(
+            lambda r: step_lib.create_train_state(self.model, sample, self.tx, r),
+            out_shardings=self.param_sharding)
+        self.state = init_fn(rng)
+        self.global_batch_size = global_batch_size
+        return self.state
+
+    # --------------------------------------------------------------- stage A
+
+    def _embed_query_fn(self):
+        if "embed_query" not in self._jitted:
+            dp = NamedSharding(self.mesh, P("dp"))
+
+            def f(params, ids):
+                return self.model.apply({"params": params}, ids,
+                                        method=EMDR2Model.embed_query)
+
+            self._jitted["embed_query"] = jax.jit(
+                f, in_shardings=(self.param_sharding.params, dp),
+                out_shardings=dp)
+        return self._jitted["embed_query"]
+
+    def retrieve(self, query_bert_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Fresh query embeddings -> sharded MIPS top-k -> host passage ids.
+
+        Fetches K+1 when trivial docs must be dropped (emdr2_model.py:389-391).
+        """
+        cfg = self.cfg
+        k = cfg.index.topk + (0 if cfg.index.allow_trivial_doc else 1)
+        dp = NamedSharding(self.mesh, P("dp"))
+        ids_dev = jax.device_put(jnp.asarray(query_bert_ids), dp)
+        q = self._embed_query_fn()(self.state.params, ids_dev)
+        scores, rows = self.index.search(q, k=k, queries_sharded=True)
+        rows_h = np.asarray(rows)
+        return self.index.lookup_passage_ids(rows_h), np.asarray(scores)
+
+    # --------------------------------------------------------------- stage B
+
+    def build_device_batch(self, batch: QABatch) -> EMDR2Batch:
+        cfg = self.cfg
+        passage_ids, _ = self.retrieve(batch.query_bert_ids)
+        post = postprocess_retrieved(
+            query_uids=batch.query_uid,
+            query_t5_ids=batch.query_t5_ids,
+            query_t5_lens=batch.query_t5_len,
+            topk_passage_ids=passage_ids,
+            corpus=self.corpus,
+            topk=cfg.index.topk,
+            retriever_seq_len=cfg.retriever.seq_len,
+            reader_seq_len=cfg.reader.seq_len,
+            cls_id=self.tok.cls_id, sep_id=self.tok.sep_id,
+            pad_id=self.tok.pad_id)
+        return EMDR2Batch(
+            query_bert_ids=jnp.asarray(batch.query_bert_ids),
+            context_bert_ids=jnp.asarray(post.context_bert_ids),
+            context_bert_types=jnp.asarray(post.context_bert_types),
+            reader_ids=jnp.asarray(post.reader_ids),
+            reader_one_ctx_ids=jnp.asarray(post.reader_one_ctx_ids),
+            dec_ids=jnp.asarray(batch.dec_ids),
+            labels=jnp.asarray(batch.labels),
+            loss_mask=jnp.asarray(batch.loss_mask),
+        )
+
+    # --------------------------------------------------------------- stage C
+
+    def _train_step_fn(self):
+        if "train_step" not in self._jitted:
+            step_fn = step_lib.make_train_step(
+                self.model, self.tx, self.cfg, eos_id=self.tok.eos_id)
+            dp = NamedSharding(self.mesh, P("dp"))
+            batch_shardings = jax.tree_util.tree_map(
+                lambda _: dp, self._sample_device_batch(1))
+            repl = NamedSharding(self.mesh, P())
+            self._jitted["train_step"] = jax.jit(
+                step_fn,
+                in_shardings=(self.param_sharding, batch_shardings),
+                out_shardings=(self.param_sharding,
+                               jax.tree_util.tree_map(lambda _: repl,
+                                                      {k: 0 for k in _METRICS})),
+                donate_argnums=(0,))
+        return self._jitted["train_step"]
+
+    def train_step(self, batch: QABatch) -> Dict[str, float]:
+        device_batch = self.build_device_batch(batch)
+        dp = NamedSharding(self.mesh, P("dp"))
+        device_batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dp), device_batch)
+        self.state, metrics = self._train_step_fn()(self.state, device_batch)
+        return metrics
+
+
+_METRICS = ("loss", "lm_loss", "retriever_loss", "retriever_utility",
+            "null_block_lm_loss", "grad_norm")

@@ -1,0 +1,125 @@
+"""Sharded evidence index + datastore tests on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emdr2_tpu.config import IndexConfig
+from emdr2_tpu.parallel import build_mesh
+from emdr2_tpu.retrieval import EmbeddingStore, ShardedEvidenceIndex
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return build_mesh()  # 8 x 1
+
+
+def make_cfg(**kw):
+    base = dict(embed_dim=32, topk=5, chunk_rows=64, group_size=1,
+                query_tile=8, dtype=jnp.float32, exact=False)
+    base.update(kw)
+    return IndexConfig(**base)
+
+
+class TestShardedIndex:
+    def test_search_matches_numpy(self, mesh):
+        rng = np.random.RandomState(0)
+        n, d, k = 1000, 32, 5   # n not divisible by 8 devices * 64 chunk
+        emb = rng.randn(n, d).astype(np.float32)
+        q = rng.randn(16, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(mesh, make_cfg(), emb)
+        vals, rows = idx.search(jnp.asarray(q), k=k)
+        scores = q @ emb.T
+        ni = np.argsort(-scores, 1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(rows), ni)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.take_along_axis(scores, ni, 1), rtol=1e-4)
+
+    def test_sharded_queries(self, mesh):
+        rng = np.random.RandomState(1)
+        n, d, k = 512, 32, 4
+        emb = rng.randn(n, d).astype(np.float32)
+        q = rng.randn(16, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(mesh, make_cfg(), emb)
+        from emdr2_tpu.parallel import data_sharding
+        q_dev = jax.device_put(jnp.asarray(q), data_sharding(mesh))
+        vals, rows = idx.search(q_dev, k=k, queries_sharded=True)
+        scores = q @ emb.T
+        ni = np.argsort(-scores, 1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(rows), ni)
+
+    def test_update_hot_swap(self, mesh):
+        rng = np.random.RandomState(2)
+        n, d = 256, 32
+        emb = rng.randn(n, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(mesh, make_cfg(), emb)
+        q = rng.randn(4, d).astype(np.float32)
+        _, rows_before = idx.search(jnp.asarray(q), k=3)
+        emb2 = rng.randn(n, d).astype(np.float32)
+        idx.update(emb2)
+        _, rows_after = idx.search(jnp.asarray(q), k=3)
+        ni = np.argsort(-(q @ emb2.T), 1)[:, :3]
+        np.testing.assert_array_equal(np.asarray(rows_after), ni)
+        assert not np.array_equal(np.asarray(rows_before), np.asarray(rows_after))
+
+    def test_passage_id_lookup(self, mesh):
+        n, d = 64, 32
+        emb = np.eye(n, d, dtype=np.float32)
+        ids = np.arange(1000, 1000 + n, dtype=np.int64)
+        idx = ShardedEvidenceIndex(mesh, make_cfg(), emb, passage_ids=ids)
+        q = np.eye(3, d, dtype=np.float32)  # query i matches row i
+        _, rows = idx.search(jnp.asarray(q), k=1)
+        pids = idx.lookup_passage_ids(np.asarray(rows)[:, 0])
+        np.testing.assert_array_equal(pids, [1000, 1001, 1002])
+
+
+class TestEmbeddingStore:
+    def test_accumulate_save_load(self, tmp_path):
+        store = EmbeddingStore(8)
+        store.add_block([3, 1], np.ones((2, 8)))
+        store.add_block([2], np.full((1, 8), 2.0))
+        assert len(store) == 3
+        store.save(str(tmp_path / "emb"))
+        loaded = EmbeddingStore.load(str(tmp_path / "emb"))
+        np.testing.assert_array_equal(loaded.ids, [3, 1, 2])
+
+    def test_shard_merge_sorts_and_checks(self, tmp_path):
+        path = str(tmp_path / "emb")
+        for rank, ids in enumerate([[5, 3], [1, 2], [4, 6]]):
+            s = EmbeddingStore(4)
+            s.add_block(ids, np.full((2, 4), float(rank)))
+            s.save_shard(path, rank)
+        merged = EmbeddingStore.merge_shards(path, expected_total=6)
+        np.testing.assert_array_equal(merged.ids, [1, 2, 3, 4, 5, 6])
+        # row for id 1 came from rank 1
+        assert merged.embeddings[0, 0] == 1.0
+        # reloadable
+        again = EmbeddingStore.load(path)
+        np.testing.assert_array_equal(again.ids, merged.ids)
+
+    def test_merge_rejects_duplicates(self, tmp_path):
+        path = str(tmp_path / "emb")
+        for rank in range(2):
+            s = EmbeddingStore(4)
+            s.add_block([7], np.zeros((1, 4)))
+            s.save_shard(path, rank)
+        with pytest.raises(AssertionError, match="duplicate"):
+            EmbeddingStore.merge_shards(path)
+
+    def test_reference_pickle_ingest(self, tmp_path):
+        import pickle
+        data = {10: np.ones(4, np.float16), 5: np.zeros(4, np.float16)}
+        p = tmp_path / "ref.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        store = EmbeddingStore.load_reference_pickle(str(p))
+        np.testing.assert_array_equal(store.ids, [5, 10])
+        # embeddings must be permuted together with ids
+        np.testing.assert_array_equal(store.embeddings[0], np.zeros(4))
+        np.testing.assert_array_equal(store.embeddings[1], np.ones(4))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
