@@ -179,13 +179,16 @@ class EMDR2Model(nn.Module):
         enc_hidden, enc_flat_ids = self._fid_encode(batch.reader_ids, deterministic)
         return topk_log_probs, enc_hidden, enc_flat_ids
 
-    def decode_step(self, dec_ids, enc_hidden, enc_flat_ids, position_offset=0):
-        """Incremental decode over cached encoder states (KV-cached; the
-        reference re-runs the full prefix each step — SURVEY §3.6 note)."""
+    def decode_step(self, dec_ids, enc_hidden, enc_flat_ids, position_offset=0,
+                    cross_kvs=None):
+        """Incremental decode over cached encoder states (self-attn KV cache +
+        optional precomputed cross-attention K/V; the reference re-runs the
+        full prefix each step — SURVEY §3.6 note)."""
         enc_dec_mask = masks.attention_mask(jnp.ones_like(dec_ids), enc_flat_ids)
         return self.reader.decode(
             dec_ids, enc_hidden, enc_dec_mask, deterministic=True,
-            decode_step=True, position_offset=position_offset)
+            decode_step=True, position_offset=position_offset,
+            cross_kvs=cross_kvs)
 
     def decode_full_prefix(self, dec_ids, enc_hidden, enc_flat_ids):
         """Whole-prefix decode (no cache) — used by beam search scoring and

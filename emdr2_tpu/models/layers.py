@@ -158,15 +158,24 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic: bool = True,
-                 decode: bool = False):
+                 decode: bool = False, precomputed_kv=None):
+        """``precomputed_kv``: a [..., Lk, 2h] projection of the encoder
+        states, computed ONCE before the decode loop (see
+        ``decoding.DecoderSession``) — the reference instead re-runs the
+        whole prefix every step with no caching (search_strategy.py:200-227).
+        """
         cfg = self.config
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
 
         if self.cross_attention:
             q = Dense(h, ("embed", "heads"), dtype=cfg.dtype,
                       kernel_init=normal_init(cfg.init_std), name="query")(x)
-            kv_proj = Dense(2 * h, ("embed", "heads"), dtype=cfg.dtype,
-                            kernel_init=normal_init(cfg.init_std), name="key_value")(kv)
+            if precomputed_kv is None:
+                kv_proj = Dense(2 * h, ("embed", "heads"), dtype=cfg.dtype,
+                                kernel_init=normal_init(cfg.init_std),
+                                name="key_value")(kv)
+            else:
+                kv_proj = precomputed_kv.astype(cfg.dtype)
             k, v = jnp.split(kv_proj, 2, axis=-1)
         else:
             qkv = Dense(3 * h, ("embed", "heads"), dtype=cfg.dtype,
@@ -197,7 +206,7 @@ class Attention(nn.Module):
                 k, v = ck.value, cv.value
                 # mask out cache slots beyond the current index
                 kpos = jnp.arange(max_len)
-                valid = kpos[None, :] < ci.value
+                valid = kpos < ci.value          # [max_len]
                 cache_bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
                 bias = cache_bias[None, None, None, :] if bias is None else (
                     bias + cache_bias[None, None, None, :])
@@ -244,7 +253,8 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
-                 deterministic: bool = True, decode: bool = False):
+                 deterministic: bool = True, decode: bool = False,
+                 cross_kv=None):
         cfg = self.config
 
         def resid(y, r):
@@ -259,7 +269,8 @@ class TransformerLayer(nn.Module):
         if self.has_cross_attention:
             h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_cross")(x)
             h = Attention(cfg, cross_attention=True, name="cross_attention")(
-                h, kv=enc_out, bias=cross_bias, deterministic=deterministic)
+                h, kv=enc_out, bias=cross_bias, deterministic=deterministic,
+                decode=decode, precomputed_kv=cross_kv)
             x = resid(h, x)
 
         h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_mlp")(x)
@@ -278,7 +289,8 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
-                 deterministic: bool = True, decode: bool = False):
+                 deterministic: bool = True, decode: bool = False,
+                 cross_kvs=None):
         cfg = self.config
         layer_cls = TransformerLayer
         if cfg.remat and not decode:
@@ -289,6 +301,7 @@ class TransformerStack(nn.Module):
             )
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.has_cross_attention, name=f"layer_{i}")(
-                x, enc_out, self_bias, cross_bias, deterministic, decode)
+                x, enc_out, self_bias, cross_bias, deterministic, decode,
+                cross_kvs[i] if cross_kvs is not None else None)
         x = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_final")(x)
         return x

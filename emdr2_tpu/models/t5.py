@@ -53,7 +53,7 @@ class T5Model(nn.Module):
 
     def decode(self, dec_ids, enc_hidden, enc_dec_mask,
                deterministic: bool = True, decode_step: bool = False,
-               position_offset: int = 0):
+               position_offset: int = 0, cross_kvs=None):
         """Decoder forward over injected encoder states -> [B, L, V] logits.
 
         ``enc_dec_mask`` is [B, Ldec, Lenc] bool (True=may attend); during
@@ -70,7 +70,7 @@ class T5Model(nn.Module):
         cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
         x = self.decoder(x, enc_out=enc_hidden, self_bias=self_bias,
                          cross_bias=cross_bias, deterministic=deterministic,
-                         decode=decode_step)
+                         decode=decode_step, cross_kvs=cross_kvs)
         x = sharding_constraint(x, ("batch", "length", "embed"))
         logits = self.shared_embeddings.attend(x) + self.lm_bias
         return logits

@@ -179,5 +179,50 @@ class E2EQATask:
         return metrics
 
 
+    # ------------------------------------------------------------ evaluation
+
+    def evaluate_em(self, dataset, batch_size: Optional[int] = None,
+                    beam_size: int = 1, max_decode_len: Optional[int] = None,
+                    max_batches: Optional[int] = None) -> Tuple[float, int]:
+        """Generate answers and score exact match vs ground truths.
+
+        Parity with ``reader_em_score`` (train_e2eqa.py:217-292): greedy when
+        beam_size==1, else length-normalized beam search; per-uid dedupe of
+        sampler padding duplicates; returns (EM percentage, n examples).
+        """
+        from emdr2_tpu.models.decoding import (
+            DecoderSession, beam_search_decode, greedy_decode)
+        from emdr2_tpu.utils.metrics import (
+            exact_match_score, metric_max_over_ground_truths)
+
+        cfg = self.cfg
+        batch_size = batch_size or self.global_batch_size
+        max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
+        session = DecoderSession(self.model, self.state.params, max_decode_len)
+
+        scores: Dict[int, float] = {}
+        for bi, batch in enumerate(dataset.epoch_batches(
+                batch_size, seed=0, shuffle=False, drop_last=False)):
+            if max_batches is not None and bi >= max_batches:
+                break
+            if len(batch.query_uid) < batch_size:
+                break  # partial tail batch: shapes must stay static
+            device_batch = self.build_device_batch(batch)
+            if beam_size == 1:
+                hyps = greedy_decode(session, device_batch,
+                                     self.tok.bos_id, self.tok.eos_id)
+            else:
+                hyps = beam_search_decode(session, device_batch,
+                                          self.tok.bos_id, self.tok.eos_id,
+                                          beam_size=beam_size)
+            for uid, refs, hyp in zip(batch.query_uid.tolist(),
+                                      batch.references, hyps):
+                text = self.tok.detokenize(hyp).strip()
+                scores[uid] = metric_max_over_ground_truths(
+                    exact_match_score, text, refs)
+        n = len(scores)
+        return (100.0 * sum(scores.values()) / max(n, 1)), n
+
+
 _METRICS = ("loss", "lm_loss", "retriever_loss", "retriever_utility",
             "null_block_lm_loss", "grad_norm")

@@ -1,0 +1,146 @@
+"""Decoding tests: KV-cache parity with full-prefix decode, greedy/beam
+behavior, length penalty, EM metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emdr2_tpu.config import tiny_config
+from emdr2_tpu.models import EMDR2Batch, EMDR2Model
+from emdr2_tpu.models.decoding import (
+    DecoderSession,
+    beam_search_decode,
+    greedy_decode,
+    length_penalty,
+)
+from emdr2_tpu.utils.metrics import (
+    exact_match_score,
+    metric_max_over_ground_truths,
+    normalize_answer,
+    regex_match_score,
+)
+from tests.test_models import make_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = EMDR2Model(cfg)
+    batch = make_batch(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return cfg, model, params, batch
+
+
+class TestIncrementalDecode:
+    def test_cache_matches_full_prefix(self, setup):
+        """Step-by-step KV-cached decoding (with precomputed cross-KV) must
+        produce the same logits as decoding the whole prefix at once (the
+        reference's strategy)."""
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=5)
+        _, enc_hidden, enc_flat = model.apply(
+            {"params": params}, batch,
+            method=EMDR2Model.encode_for_generation)
+        _, kvs, _ = session.encode(batch)
+        B = batch.dec_ids.shape[0]
+
+        prefix = np.asarray([[7, 8, 9, 10], [11, 12, 13, 14]], np.int32)
+
+        # full-prefix logits at each position
+        full = model.apply({"params": params}, jnp.asarray(prefix),
+                           enc_hidden, enc_flat,
+                           method=EMDR2Model.decode_full_prefix)
+        full_lp = jax.nn.log_softmax(full.astype(jnp.float32), -1)
+
+        # incremental
+        cache = session.init_cache(B, kvs, enc_flat)
+        inc = []
+        for pos in range(prefix.shape[1]):
+            lp, cache = session.step(cache, prefix[:, pos: pos + 1],
+                                     kvs, enc_flat, pos)
+            inc.append(np.asarray(lp))
+        inc = np.stack(inc, axis=1)
+        np.testing.assert_allclose(inc, np.asarray(full_lp), atol=2e-4)
+
+
+class TestGreedy:
+    def test_shapes_and_eos_strip(self, setup):
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=6)
+        outs = greedy_decode(session, batch, bos_id=1, eos_id=2)
+        assert len(outs) == batch.dec_ids.shape[0]
+        for o in outs:
+            assert 1 <= len(o) <= 6
+            assert 2 not in o  # EOS stripped
+
+    def test_deterministic(self, setup):
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=4)
+        a = greedy_decode(session, batch, bos_id=1, eos_id=2)
+        b = greedy_decode(session, batch, bos_id=1, eos_id=2)
+        assert a == b
+
+
+class TestBeam:
+    def test_beam1_matches_greedy(self, setup):
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=5)
+        g = greedy_decode(session, batch, bos_id=1, eos_id=2)
+        b = beam_search_decode(session, batch, bos_id=1, eos_id=2, beam_size=1)
+        assert g == b
+
+    def test_beam_scores_no_worse(self, setup):
+        """Beam-5's raw joint log-prob should be >= greedy's for each
+        example (same length normalization at comparison)."""
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=5)
+
+        def seq_logprob(tokens):
+            _, enc_hidden, enc_flat = model.apply(
+                {"params": params}, batch,
+                method=EMDR2Model.encode_for_generation)
+            B = batch.dec_ids.shape[0]
+            out = []
+            for b in range(B):
+                seq = [1] + tokens[b]
+                dec = jnp.asarray([seq], jnp.int32)
+                logits = model.apply(
+                    {"params": params}, dec,
+                    enc_hidden[b: b + 1], enc_flat[b: b + 1],
+                    method=EMDR2Model.decode_full_prefix)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                tot = sum(float(lp[0, i, t])
+                          for i, t in enumerate(tokens[b]))
+                out.append(tot / length_penalty(len(tokens[b])))
+            return out
+
+        g = greedy_decode(session, batch, bos_id=1, eos_id=2)
+        bm = beam_search_decode(session, batch, bos_id=1, eos_id=2, beam_size=4)
+        for gs, bs in zip(seq_logprob(g), seq_logprob(bm)):
+            assert bs >= gs - 1e-4
+
+
+class TestLengthPenalty:
+    def test_reference_formula(self):
+        assert abs(length_penalty(1) - 1.0) < 1e-9
+        assert abs(length_penalty(5) - (10.0 / 6.0) ** 0.6) < 1e-9
+
+
+class TestMetrics:
+    def test_normalize(self):
+        assert normalize_answer("The  Quick, Brown-Fox!") == "quick brownfox"
+
+    def test_em_and_max(self):
+        assert exact_match_score("The cat", "cat")
+        assert not exact_match_score("a dog", "cat")
+        assert metric_max_over_ground_truths(
+            exact_match_score, "cat", ["dog", "the cat"]) == 1.0
+
+    def test_regex(self):
+        assert regex_match_score("Paris, France", r"paris.*")
+        assert not regex_match_score("x", r"(")  # invalid pattern -> False
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
