@@ -1,0 +1,175 @@
+"""Asynchronous evidence-index refresh.
+
+Replaces the reference's trainer/indexer process split
+(``/root/reference/tasks/openqa/e2eqa/async_indexer.py`` + the trainer-side
+protocol in ``train_e2eqa.py:437-508``): 8 GPUs run a perpetual re-embedding
+loop, shipping embeddings through a 32 GB pickle and weights through torch
+checkpoints, with 1-element Gloo broadcasts (``NEW_INDEX_READY`` /
+``NEW_CHKPT_READY``) as the control plane.
+
+TPU-native, single-program design: a background thread drives the embedder
+work on its own mesh (a disjoint sub-mesh of the pod in production; any mesh
+on test hardware). Data plane is memory — retriever weights are handed to
+the worker as a device snapshot, finished embeddings are handed back as a
+host array hot-swapped into the ShardedEvidenceIndex — and the control plane
+is two events mirroring the reference's READY/CHKPT ordering:
+
+    trainer                         embedder thread
+    -------                         ---------------
+    publish_weights(params) ----->  wait weights
+    ... train steps ...             embed corpus with those weights
+    maybe_swap(): index ready? <--- publish embeddings, wait next weights
+      yes: index.update(emb)
+           publish_weights(fresh)
+
+The trainer's index and the embedder's weights are always one refresh
+interval stale — by design (the paper's stale-index approximation,
+SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+from emdr2_tpu.retrieval.index import ShardedEvidenceIndex
+
+
+class AsyncIndexRefresher:
+    def __init__(self, builder: EvidenceIndexBuilder,
+                 index: ShardedEvidenceIndex,
+                 reload_interval: int,
+                 extract_retriever: Callable[[Any], Any] = lambda p: p,
+                 on_refresh: Optional[Callable[[int], None]] = None):
+        """``extract_retriever`` maps the train-state params to the params
+        pytree the builder's embed fn expects (identity when the builder
+        wraps the full EMDR2 model)."""
+        self.builder = builder
+        self.index = index
+        self.reload_interval = reload_interval
+        self.extract = extract_retriever
+        self.on_refresh = on_refresh
+
+        self._weights = None
+        self._weights_ready = threading.Event()
+        self._result: Optional[np.ndarray] = None
+        self._result_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._last_reload_step = 0
+        self.refresh_count = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._started = False
+        self.error: Optional[BaseException] = None
+
+    # ------------------------------------------------------------- trainer
+
+    def start(self, params) -> None:
+        """Publish initial weights and start the embedder loop (the
+        reference's initial NEW_CHKPT_READY broadcast, train_e2eqa.py:444-447)."""
+        self._publish_weights(params)
+        self._thread.start()
+        self._started = True
+
+    def _publish_weights(self, params) -> None:
+        # snapshot: device->device copy so the trainer can donate/overwrite
+        # its own params freely afterwards
+        snap = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+            self.extract(params))
+        self._weights = snap
+        self._weights_ready.set()
+
+    def maybe_swap(self, step: int, params) -> bool:
+        """Call every train step. At interval boundaries, if the embedder
+        finished, hot-swap the index and hand over fresh weights. Never
+        blocks training (parity with the is_completed() poll,
+        train_e2eqa.py:477-508 — minus the 5-second sleeps)."""
+        if self.error is not None:
+            raise RuntimeError("async embedder failed") from self.error
+        if step - self._last_reload_step < self.reload_interval:
+            return False
+        with self._result_lock:
+            emb, self._result = self._result, None
+        if emb is None:
+            return False
+        self.index.update(emb)
+        self._last_reload_step = step
+        self.refresh_count += 1
+        self._publish_weights(params)
+        if self.on_refresh is not None:
+            self.on_refresh(step)
+        return True
+
+    def stop(self, wait: bool = True) -> None:
+        self._stop.set()
+        self._weights_ready.set()  # unblock the worker
+        if wait and self._started:
+            self._thread.join(timeout=600)
+
+    def wait_for_result(self, timeout: Optional[float] = None) -> bool:
+        """Block until an embedding pass finishes (used by --exit-interval
+        style shutdown, train_e2eqa.py:531-544, and by tests)."""
+        import time
+        deadline = None if timeout is None else time.time() + timeout
+        while True:
+            with self._result_lock:
+                if self._result is not None:
+                    return True
+            if self.error is not None:
+                raise RuntimeError("async embedder failed") from self.error
+            if deadline is not None and time.time() > deadline:
+                return False
+            time.sleep(0.02)
+
+    # ------------------------------------------------------------- worker
+
+    def _worker(self) -> None:
+        try:
+            while not self._stop.is_set():
+                self._weights_ready.wait()
+                if self._stop.is_set():
+                    return
+                self._weights_ready.clear()
+                params = self._weights
+                emb = self.builder.embed_corpus(params)
+                with self._result_lock:
+                    self._result = emb
+                # wait for the next weight drop (reference: blocking wait on
+                # NEW_CHKPT_READY, async_indexer.py:131-144)
+        except BaseException as e:  # surface to the trainer thread
+            self.error = e
+
+
+class SynchronousRefresher:
+    """Degenerate variant: re-embed inline at each boundary (no overlap) —
+    useful on single-chip hardware and as the correctness baseline the async
+    path is tested against."""
+
+    def __init__(self, builder: EvidenceIndexBuilder,
+                 index: ShardedEvidenceIndex, reload_interval: int,
+                 extract_retriever: Callable[[Any], Any] = lambda p: p):
+        self.builder = builder
+        self.index = index
+        self.reload_interval = reload_interval
+        self.extract = extract_retriever
+        self._last_reload_step = 0
+        self.refresh_count = 0
+
+    def start(self, params) -> None:
+        pass
+
+    def maybe_swap(self, step: int, params) -> bool:
+        if step - self._last_reload_step < self.reload_interval:
+            return False
+        emb = self.builder.embed_corpus(self.extract(params))
+        self.index.update(emb)
+        self._last_reload_step = step
+        self.refresh_count += 1
+        return True
+
+    def stop(self, wait: bool = True) -> None:
+        pass

@@ -1,0 +1,124 @@
+"""Training engine: the epoch/interval loop for end-to-end EMDR2 training.
+
+Replaces the reference's ``train``/``_train`` (``/root/reference/tasks/
+openqa/e2eqa/train_e2eqa.py:415-544``) and the generic engine pieces of
+``megatron/training.py:233-377``: per-interval loss averaging and timer
+logs, checkpoint save/eval intervals, ``exit_interval`` clean shutdown that
+waits for an in-flight index build, epoch/iteration resume math
+(``iteration -> epoch, batch offset``, :428-430), and the async-refresh
+handshake points.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from emdr2_tpu.config import EMDR2Config
+from emdr2_tpu.training import checkpointing as ckpt_lib
+from emdr2_tpu.utils.timers import Timers
+
+
+class TrainLog:
+    """Interval-averaged metric logging (training_log, training.py:233-322)."""
+
+    def __init__(self, log_interval: int, printer: Callable[[str], None] = print):
+        self.log_interval = log_interval
+        self.printer = printer
+        self._acc: Dict[str, float] = {}
+        self._count = 0
+        self._t0 = time.perf_counter()
+        self.history: List[Dict[str, float]] = []
+
+    def push(self, iteration: int, total_iters: int,
+             metrics: Dict[str, float]) -> None:
+        for k, v in metrics.items():
+            self._acc[k] = self._acc.get(k, 0.0) + float(v)
+        self._count += 1
+        if iteration % self.log_interval == 0:
+            avg = {k: v / self._count for k, v in self._acc.items()}
+            ms = (time.perf_counter() - self._t0) * 1000.0 / self._count
+            avg["ms_per_iter"] = ms
+            avg["iteration"] = iteration
+            self.history.append(avg)
+            parts = " | ".join(f"{k} {v:.4e}" for k, v in avg.items()
+                               if k != "iteration")
+            self.printer(f" iteration {iteration:8d}/{total_iters} | {parts}")
+            self._acc, self._count = {}, 0
+            self._t0 = time.perf_counter()
+
+
+def train(task, dataset, cfg: EMDR2Config,
+          refresher=None,
+          save_dir: Optional[str] = None,
+          eval_callback: Optional[Callable[[int], None]] = None,
+          printer: Callable[[str], None] = print) -> int:
+    """Run the e2e training loop; returns the final iteration.
+
+    ``task`` is an E2EQATask with an initialized state; ``dataset`` an
+    OpenQADataset. train_iters = epochs x batches-per-epoch unless
+    cfg.train.train_iters is set (parity with train_e2eqa.py:564-570).
+    """
+    tcfg = cfg.train
+    B = task.global_batch_size
+    batches_per_epoch = len(dataset) // B
+    total_iters = (tcfg.train_iters if tcfg.train_iters is not None
+                   else tcfg.epochs * batches_per_epoch)
+
+    iteration = int(task.state.step)
+    start_epoch = iteration // max(batches_per_epoch, 1)
+    start_offset = iteration % max(batches_per_epoch, 1)
+
+    if refresher is not None:
+        refresher.start(task.state.params)
+
+    log = TrainLog(tcfg.log_interval, printer)
+    timers = Timers()
+
+    for epoch in range(start_epoch, max(tcfg.epochs, start_epoch + 1)):
+        for bi, batch in enumerate(dataset.epoch_batches(
+                B, seed=tcfg.seed + epoch)):
+            if epoch == start_epoch and bi < start_offset:
+                continue  # resume skip (train_e2eqa.py:461-468)
+            if iteration >= total_iters:
+                break
+
+            if refresher is not None and refresher.maybe_swap(
+                    iteration, task.state.params):
+                if save_dir is not None:
+                    # the reference saves a checkpoint at every refresh —
+                    # it IS the weight channel there (:482); here it's pure
+                    # fault tolerance
+                    ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+                    ckpt_lib.remove_stale_checkpoints(save_dir, keep_last=2)
+
+            timers("step").start()
+            metrics = task.train_step(batch)
+            timers("step").stop()
+            iteration += 1
+            log.push(iteration, total_iters, metrics)
+
+            if save_dir is not None and iteration % tcfg.save_interval == 0:
+                ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+            if eval_callback is not None and iteration % tcfg.eval_interval == 0:
+                eval_callback(iteration)
+            if tcfg.exit_interval and iteration % tcfg.exit_interval == 0:
+                # clean shutdown: wait for an in-flight index build, final
+                # save, stop (train_e2eqa.py:531-544)
+                if refresher is not None:
+                    refresher.stop(wait=True)
+                if save_dir is not None:
+                    ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+                printer(f" exiting at iteration {iteration} (exit_interval)")
+                return iteration
+        if iteration >= total_iters:
+            break
+
+    if refresher is not None:
+        refresher.stop(wait=True)
+    if save_dir is not None:
+        ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+    return iteration
