@@ -45,6 +45,13 @@ class EvidenceIndexBuilder:
 
     def _format_rows(self, doc_ids: np.ndarray):
         L = self.cfg.retriever.seq_len
+        try:  # C++ fast path (emdr2_tpu/native/store_ops.cpp)
+            from emdr2_tpu.native import batch_context_format
+            return batch_context_format(
+                self.corpus.titles, self.corpus.passages, doc_ids, L,
+                self.cls_id, self.sep_id, self.pad_id)
+        except Exception:
+            pass
         ids = np.full((len(doc_ids), L), self.pad_id, np.int32)
         types = np.full((len(doc_ids), L), self.pad_id, np.int32)
         for r, doc_id in enumerate(doc_ids):
