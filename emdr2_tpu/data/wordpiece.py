@@ -179,4 +179,8 @@ class FullTokenizer:
         return [self.vocab[t] for t in tokens]
 
     def ids_to_tokens(self, ids: Iterable[int]) -> List[str]:
-        return [self.inv_vocab[i] for i in ids]
+        """Unknown ids map to [UNK]: model vocabs are padded past the real
+        vocab (tokenizer.py pad_vocab_size), so an untrained model can emit
+        ids in the padding region during generation."""
+        unk = "[UNK]" if "[UNK]" in self.vocab else ""
+        return [self.inv_vocab.get(int(i), unk) for i in ids]

@@ -1,0 +1,103 @@
+"""OPENQA task wiring: datasets, model, index, refresh, train loop, EM eval.
+
+Replaces ``/root/reference/tasks/openqa/e2eqa/run.py`` (providers) + the
+startup choreography of ``train_e2eqa.py:556-641``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import numpy as np
+
+
+def _padded_vocab_cfg(cfg, bert_tok, t5_tok):
+    enc = dataclasses.replace(cfg.retriever.encoder,
+                              vocab_size=bert_tok.padded_vocab_size)
+    t5c = dataclasses.replace(cfg.reader.transformer,
+                              vocab_size=t5_tok.padded_vocab_size)
+    return cfg.replace(
+        retriever=dataclasses.replace(cfg.retriever, encoder=enc),
+        reader=dataclasses.replace(cfg.reader, transformer=t5c))
+
+
+def run_openqa(args, cfg) -> int:
+    from emdr2_tpu.data.evidence import EvidenceCorpus
+    from emdr2_tpu.data.qa_dataset import OpenQADataset
+    from emdr2_tpu.data.tokenizer import build_tokenizers
+    from emdr2_tpu.parallel import build_mesh
+    from emdr2_tpu.retrieval import EmbeddingStore, ShardedEvidenceIndex
+    from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+    from emdr2_tpu.tasks.e2eqa import E2EQATask
+    from emdr2_tpu.training import checkpointing as ck
+    from emdr2_tpu.training import engine
+    from emdr2_tpu.training.async_refresh import (
+        AsyncIndexRefresher, SynchronousRefresher)
+
+    assert args.train_data and args.evidence_data_path, (
+        "--train-data and --evidence-data-path are required for OPENQA")
+
+    bert_tok, t5_tok = build_tokenizers(args.vocab_file)
+    cfg = _padded_vocab_cfg(cfg, bert_tok, t5_tok)
+    mesh = build_mesh(cfg.mesh)
+
+    corpus = EvidenceCorpus.load(args.evidence_data_path + "_text",
+                                 args.evidence_data_path + "_title")
+    train_ds = OpenQADataset(args.train_data, t5_tok,
+                             max_seq_length=cfg.retriever.query_seq_len,
+                             decoder_seq_length=cfg.reader.decoder_seq_len,
+                             seed=cfg.train.seed)
+    valid_ds = (OpenQADataset(args.valid_data, t5_tok,
+                              max_seq_length=cfg.retriever.query_seq_len,
+                              decoder_seq_length=cfg.reader.decoder_seq_len)
+                if args.valid_data else None)
+
+    # evidence embeddings: precomputed store (MSS) or reference pickle
+    if args.embedding_path is None:
+        raise SystemExit("--embedding-path required (precomputed evidence "
+                         "embeddings; build one with tools.create_doc_index)")
+    if args.embedding_path.endswith(".pkl"):
+        store = EmbeddingStore.load_reference_pickle(args.embedding_path)
+    else:
+        store = EmbeddingStore.load(args.embedding_path)
+    index = ShardedEvidenceIndex(mesh, cfg.index,
+                                 np.asarray(store.embeddings, np.float32),
+                                 passage_ids=np.asarray(store.ids))
+
+    B = cfg.train.batch_size * cfg.mesh.dp
+    total_iters = (cfg.train.train_iters if cfg.train.train_iters
+                   else cfg.train.epochs * (len(train_ds) // B))
+    task = E2EQATask(cfg, mesh, t5_tok, corpus, index,
+                     total_train_iters=total_iters)
+    task.init_state(jax.random.PRNGKey(cfg.train.seed), B)
+
+    if args.load:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, task.state)
+        task.state, it = ck.load_checkpoint(args.load, abstract)
+        print(f"resumed from {args.load} at iteration {it}")
+
+    refresher = None
+    if args.async_indexer:
+        builder = EvidenceIndexBuilder(
+            cfg, mesh, task.model, corpus, t5_tok.cls_id, t5_tok.sep_id,
+            t5_tok.pad_id)
+        refresher = AsyncIndexRefresher(
+            builder, index, reload_interval=cfg.train.index_reload_interval)
+
+    def eval_cb(iteration):
+        if valid_ds is not None:
+            em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+                                     max_decode_len=args.max_decode_len)
+            print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
+
+    final = engine.train(task, train_ds, cfg, refresher=refresher,
+                         save_dir=args.save, eval_callback=eval_cb)
+    if valid_ds is not None:
+        em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+                                 max_decode_len=args.max_decode_len)
+        print(f" final ({final} iters) | valid EM {em:.2f} over {n}")
+    return 0

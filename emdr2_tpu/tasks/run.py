@@ -1,0 +1,141 @@
+"""Unified task CLI: ``python -m emdr2_tpu.tasks.run --task OPENQA|RETRIEVER``.
+
+Replaces ``/root/reference/tasks/run.py`` + the argparse tree in
+``megatron/arguments.py``: flags map onto the dataclass config
+(``emdr2_tpu.config``), no global singletons. Flag names follow the
+reference where a direct counterpart exists (see examples/*.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("emdr2_tpu", description=__doc__)
+    p.add_argument("--task", choices=["OPENQA", "RETRIEVER"], required=True)
+
+    g = p.add_argument_group("model")
+    g.add_argument("--hidden-size", type=int, default=768)
+    g.add_argument("--num-layers", type=int, default=12)
+    g.add_argument("--num-attention-heads", type=int, default=12)
+    g.add_argument("--ffn-hidden-size", type=int, default=3072)
+    g.add_argument("--seq-length", type=int, default=512,
+                   help="reader sequence length")
+    g.add_argument("--seq-length-ret", type=int, default=256,
+                   help="retriever context length")
+    g.add_argument("--seq-length-query", type=int, default=64)
+    g.add_argument("--seq-length-dec", type=int, default=32)
+    g.add_argument("--remat", action="store_true",
+                   help="activation checkpointing in the transformer stacks")
+
+    g = p.add_argument_group("emdr2")
+    g.add_argument("--topk-retrievals", type=int, default=50)
+    g.add_argument("--update-retriever", action="store_true", default=True)
+    g.add_argument("--no-update-retriever", dest="update_retriever",
+                   action="store_false")
+    g.add_argument("--retriever-score-scaling", action="store_true",
+                   default=True)
+    g.add_argument("--ret-kldiv", action="store_true")
+    g.add_argument("--allow-trivial-doc", action="store_true", default=True)
+    g.add_argument("--async-indexer", action="store_true")
+    g.add_argument("--index-reload-interval", type=int, default=500)
+
+    g = p.add_argument_group("training")
+    g.add_argument("--batch-size", type=int, default=8,
+                   help="per-dp-shard batch size")
+    g.add_argument("--epochs", type=int, default=10)
+    g.add_argument("--train-iters", type=int, default=None)
+    g.add_argument("--lr", type=float, default=2e-5)
+    g.add_argument("--min-lr", type=float, default=0.0)
+    g.add_argument("--lr-decay-style", default="linear",
+                   choices=["linear", "cosine", "exponential", "constant"])
+    g.add_argument("--warmup", type=float, default=0.01)
+    g.add_argument("--weight-decay", type=float, default=0.1)
+    g.add_argument("--clip-grad", type=float, default=1.0)
+    g.add_argument("--seed", type=int, default=1234)
+    g.add_argument("--log-interval", type=int, default=20)
+    g.add_argument("--save-interval", type=int, default=500)
+    g.add_argument("--eval-interval", type=int, default=500)
+    g.add_argument("--exit-interval", type=int, default=None)
+    g.add_argument("--beam-size", type=int, default=1)
+    g.add_argument("--max-decode-len", type=int, default=32)
+    g.add_argument("--train-hard-neg", type=int, default=1)
+
+    g = p.add_argument_group("mesh")
+    g.add_argument("--dp", type=int, default=None,
+                   help="data-parallel axis size (default: all devices)")
+    g.add_argument("--tp", type=int, default=1)
+
+    g = p.add_argument_group("data")
+    g.add_argument("--vocab-file", required=True)
+    g.add_argument("--train-data", nargs="+", default=None)
+    g.add_argument("--valid-data", nargs="+", default=None)
+    g.add_argument("--evidence-data-path", default=None,
+                   help="prefix of the pre-tokenized evidence (expects "
+                        "<prefix>_text/_title mmap datasets)")
+    g.add_argument("--embedding-path", default=None,
+                   help="EmbeddingStore prefix for precomputed evidence "
+                        "embeddings (or reference .pkl to ingest)")
+    g.add_argument("--save", default=None, help="checkpoint dir")
+    g.add_argument("--load", default=None, help="resume checkpoint dir")
+
+    return p
+
+
+def make_config(args):
+    from emdr2_tpu import config as C
+
+    enc = C.TransformerConfig(
+        hidden_size=args.hidden_size, num_layers=args.num_layers,
+        num_heads=args.num_attention_heads, ffn_size=args.ffn_hidden_size,
+        num_tokentypes=2, remat=args.remat)
+    t5c = dataclasses.replace(enc, num_tokentypes=0)
+    cfg = C.EMDR2Config(
+        retriever=C.RetrieverConfig(
+            encoder=enc, embed_dim=args.hidden_size,
+            seq_len=args.seq_length_ret, query_seq_len=args.seq_length_query),
+        reader=C.ReaderConfig(
+            transformer=t5c, seq_len=args.seq_length,
+            decoder_seq_len=args.seq_length_dec),
+        index=C.IndexConfig(
+            embed_dim=args.hidden_size, topk=args.topk_retrievals,
+            allow_trivial_doc=args.allow_trivial_doc),
+        mesh=C.MeshConfig(dp=args.dp or len(jax.devices()), tp=args.tp),
+        train=C.TrainConfig(
+            batch_size=args.batch_size, train_iters=args.train_iters,
+            epochs=args.epochs, seed=args.seed,
+            log_interval=args.log_interval, save_interval=args.save_interval,
+            eval_interval=args.eval_interval, exit_interval=args.exit_interval,
+            index_reload_interval=args.index_reload_interval,
+            optimizer=C.OptimizerConfig(
+                lr=args.lr, min_lr=args.min_lr,
+                weight_decay=args.weight_decay, clip_grad=args.clip_grad,
+                lr_decay_style=args.lr_decay_style, warmup=args.warmup)),
+        update_retriever=args.update_retriever,
+        retriever_score_scaling=args.retriever_score_scaling,
+        use_kl_div_loss=args.ret_kldiv,
+    )
+    # pad model vocabs to the tokenizer's padded size at task setup
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from emdr2_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
+    if args.task == "OPENQA":
+        from emdr2_tpu.tasks.openqa_main import run_openqa
+        return run_openqa(args, make_config(args))
+    else:
+        from emdr2_tpu.tasks.retriever_main import run_retriever
+        return run_retriever(args, make_config(args))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+#!/bin/bash
+# EMDR2 end-to-end training on Natural Questions — flagship recipe.
+# Hyperparameter parity with /root/reference/examples/openqa/emdr2_nq.sh:
+# BERT-base retriever + T5-base reader, top-50 retrieval, global batch 64,
+# 10 epochs, lr 2e-5 linear warmup 1%, async index refresh every 500 steps.
+#
+# The reference launches 16 processes (8 trainers + 8 indexers); here one
+# program drives the whole mesh and the embedder runs as the async refresher.
+# Set --dp to the number of chips; the evidence index shards over all of them.
+
+set -euo pipefail
+
+DATA_DIR=${DATA_DIR:-data}
+VOCAB_FILE=${VOCAB_FILE:-$DATA_DIR/bert-large-uncased-vocab.txt}
+EVIDENCE=${EVIDENCE:-$DATA_DIR/wikipedia-evidence}        # tools.build_evidence output prefix
+EMBEDDINGS=${EMBEDDINGS:-$DATA_DIR/mss-emdr2-evidence-embeddings}  # or reference .pkl
+TRAIN_DATA=${TRAIN_DATA:-$DATA_DIR/nq-train.csv}
+VALID_DATA=${VALID_DATA:-$DATA_DIR/nq-dev.csv}
+CHECKPOINT_PATH=${CHECKPOINT_PATH:-checkpoints/emdr2-nq}
+DP=${DP:-8}
+
+python -m emdr2_tpu.tasks.run \
+    --task OPENQA \
+    --vocab-file "$VOCAB_FILE" \
+    --train-data "$TRAIN_DATA" \
+    --valid-data "$VALID_DATA" \
+    --evidence-data-path "$EVIDENCE" \
+    --embedding-path "$EMBEDDINGS" \
+    --save "$CHECKPOINT_PATH" \
+    --load "$CHECKPOINT_PATH" \
+    --dp "$DP" \
+    --batch-size 8 \
+    --epochs 10 \
+    --topk-retrievals 50 \
+    --seq-length 512 \
+    --seq-length-ret 256 \
+    --seq-length-dec 32 \
+    --lr 2e-5 \
+    --lr-decay-style linear \
+    --warmup 0.01 \
+    --weight-decay 0.1 \
+    --clip-grad 1.0 \
+    --retriever-score-scaling \
+    --update-retriever \
+    --allow-trivial-doc \
+    --async-indexer \
+    --index-reload-interval 500 \
+    --log-interval 20 \
+    --save-interval 500 \
+    --eval-interval 500 \
+    --max-decode-len 32 \
+    --beam-size 1

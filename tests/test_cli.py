@@ -1,0 +1,134 @@
+"""CLI end-to-end smoke tests: data prep -> offline index -> recall eval ->
+OPENQA training -> RETRIEVER training -> checkpoint surgery, all through the
+actual command-line entry points on a toy corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from emdr2_tpu.data.tokenizer import toy_vocab
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    # vocab file
+    words = [f"item{i}" for i in range(16)] + [
+        "red", "blue", "color", "of", "is", "what", "the"]
+    vocab = toy_vocab(words)
+    vocab_path = d / "vocab.txt"
+    vocab_path.write_text("\n".join(vocab) + "\n")
+    # evidence tsv (header + doc_id, text, title)
+    rows = ["id\ttext\ttitle"]
+    colors = ["red", "blue"]
+    for i in range(16):
+        rows.append(f"{i+1}\tthe color of item{i} is {colors[i % 2]}\titem{i // 2}")
+    (d / "evidence.tsv").write_text("\n".join(rows) + "\n")
+    # qa csv
+    qa = [f"what is the color of item{i}\t['{colors[i % 2]}']" for i in range(16)]
+    (d / "qa.csv").write_text("\n".join(qa) + "\n")
+    return d
+
+
+MODEL_ARGS = ["--hidden-size", "32", "--num-layers", "1",
+              "--num-attention-heads", "2", "--ffn-hidden-size", "64",
+              "--seq-length-ret", "24", "--seq-length-query", "16"]
+
+
+class TestCLIPipeline:
+    def test_01_build_evidence(self, workdir):
+        from emdr2_tpu.tools.build_evidence import build
+        n = build(str(workdir / "evidence.tsv"), str(workdir / "wiki"),
+                  str(workdir / "vocab.txt"), workers=2)
+        assert n == 16
+        from emdr2_tpu.data.indexed_dataset import MMapIndexedDataset
+        ds = MMapIndexedDataset(str(workdir / "wiki_text"))
+        assert len(ds) == 16
+
+    def test_02_create_doc_index(self, workdir):
+        from emdr2_tpu.tools.create_doc_index import main
+        main(["--evidence-data-path", str(workdir / "wiki"),
+              "--vocab-file", str(workdir / "vocab.txt"),
+              "--embedding-path", str(workdir / "emb"),
+              "--batch-size", "8"] + MODEL_ARGS)
+        from emdr2_tpu.retrieval import EmbeddingStore
+        store = EmbeddingStore.load(str(workdir / "emb"))
+        assert len(store.ids) == 16
+
+    def test_03_evaluate_retrieval(self, workdir, capsys):
+        from emdr2_tpu.tools.evaluate_retrieval import main
+        main(["--qa-data", str(workdir / "qa.csv"),
+              "--evidence-data-path", str(workdir / "wiki"),
+              "--embedding-path", str(workdir / "emb"),
+              "--vocab-file", str(workdir / "vocab.txt"),
+              "--topk", "4",
+              "--report-topk-accuracies", "1", "4"] + MODEL_ARGS)
+        out = capsys.readouterr().out
+        assert "recall@1=" in out and "recall@4=" in out
+
+    def test_04_openqa_task(self, workdir, capsys):
+        from emdr2_tpu.tasks.run import main
+        rc = main(["--task", "OPENQA",
+                   "--vocab-file", str(workdir / "vocab.txt"),
+                   "--train-data", str(workdir / "qa.csv"),
+                   "--valid-data", str(workdir / "qa.csv"),
+                   "--evidence-data-path", str(workdir / "wiki"),
+                   "--embedding-path", str(workdir / "emb"),
+                   "--save", str(workdir / "run"),
+                   "--topk-retrievals", "2", "--batch-size", "1",
+                   "--dp", "8", "--epochs", "1", "--log-interval", "1",
+                   "--seq-length", "48", "--seq-length-dec", "8",
+                   "--save-interval", "1", "--eval-interval", "100",
+                   "--max-decode-len", "4",
+                   "--async-indexer", "--index-reload-interval", "1",
+                   ] + MODEL_ARGS)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "valid EM" in out
+        from emdr2_tpu.training.checkpointing import latest_iteration
+        assert latest_iteration(str(workdir / "run")) == 2  # 16/8 batches
+
+    def test_05_retriever_task(self, workdir, capsys):
+        # DPR json from the same toy facts
+        colors = ["red", "blue"]
+        rows = [{
+            "question": f"what is the color of item{i}",
+            "answers": [colors[i % 2]],
+            "positive_ctxs": [{"title": f"item{i // 2}",
+                               "text": f"the color of item{i} is {colors[i % 2]}"}],
+            "hard_negative_ctxs": [{"title": f"item{(i+1) // 2}",
+                                    "text": f"the color of item{(i+1) % 16} is x"}],
+        } for i in range(16)]
+        (workdir / "dpr.json").write_text(json.dumps(rows))
+        from emdr2_tpu.tasks.run import main
+        rc = main(["--task", "RETRIEVER",
+                   "--vocab-file", str(workdir / "vocab.txt"),
+                   "--train-data", str(workdir / "dpr.json"),
+                   "--valid-data", str(workdir / "dpr.json"),
+                   "--batch-size", "1", "--dp", "8", "--epochs", "1",
+                   "--log-interval", "1"] + MODEL_ARGS)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "top1" in out
+
+    def test_06_checkpoint_surgery(self, workdir):
+        from emdr2_tpu.tools.checkpoint_surgery import extract, strip_optim
+        run = str(workdir / "run")
+        out = extract(run, "retriever", str(workdir / "ret_only"))
+        assert os.path.exists(out)
+        slim = strip_optim(run, str(workdir / "slim"))
+        assert os.path.exists(slim)
+        # extracted checkpoint is loadable by the partial loader
+        import jax
+        from emdr2_tpu.training import checkpointing as ck
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as c:
+            tree = c.restore(out)
+        assert "retriever" in tree["params"]
+        assert "reader" not in tree["params"]
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
