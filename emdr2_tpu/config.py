@@ -47,6 +47,9 @@ class TransformerConfig:
     # Dormant-at-runtime TP in the reference (dualencoder_model.py:15 asserts MP==1)
     # is first-class here: logical axis names resolved against the mesh.
     remat: bool = False              # activation checkpointing (transformer.py:621-646)
+    # Layer parameter sharing (transformer.py:594-616): None = no sharing.
+    num_unique_layers: Optional[int] = None
+    param_sharing_style: str = "grouped"  # grouped | spaced
 
     @property
     def head_dim(self) -> int:

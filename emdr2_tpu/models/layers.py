@@ -299,9 +299,21 @@ class TransformerStack(nn.Module):
                 static_argnums=(5, 6),
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
+        n_unique = cfg.num_unique_layers or cfg.num_layers
+        assert cfg.num_layers % n_unique == 0
+        assert n_unique == cfg.num_layers or not decode, (
+            "KV-cached decoding is incompatible with layer-param sharing")
+        layers = [layer_cls(cfg, self.has_cross_attention, name=f"layer_{u}")
+                  for u in range(n_unique)]
         for i in range(cfg.num_layers):
-            x = layer_cls(cfg, self.has_cross_attention, name=f"layer_{i}")(
+            # layer-parameter sharing (transformer.py:611-616): grouped
+            # cycles through the unique layers, spaced repeats each in a row
+            if cfg.param_sharing_style == "grouped":
+                u = i % n_unique
+            else:  # spaced
+                u = i // (cfg.num_layers // n_unique)
+            x = layers[u](
                 x, enc_out, self_bias, cross_bias, deterministic, decode,
-                cross_kvs[i] if cross_kvs is not None else None)
+                cross_kvs[u] if cross_kvs is not None else None)
         x = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_final")(x)
         return x

@@ -55,6 +55,7 @@ def train(task, dataset, cfg: EMDR2Config,
           refresher=None,
           save_dir: Optional[str] = None,
           eval_callback: Optional[Callable[[int], None]] = None,
+          tensorboard_dir: Optional[str] = None,
           printer: Callable[[str], None] = print) -> int:
     """Run the e2e training loop; returns the final iteration.
 
@@ -77,6 +78,9 @@ def train(task, dataset, cfg: EMDR2Config,
 
     log = TrainLog(tcfg.log_interval, printer)
     timers = Timers()
+    from emdr2_tpu.utils.monitoring import MetricsWriter, report_memory
+    writer = MetricsWriter(tensorboard_dir)
+    reported_memory = False
 
     for epoch in range(start_epoch, max(tcfg.epochs, start_epoch + 1)):
         for bi, batch in enumerate(dataset.epoch_batches(
@@ -100,6 +104,12 @@ def train(task, dataset, cfg: EMDR2Config,
             timers("step").stop()
             iteration += 1
             log.push(iteration, total_iters, metrics)
+            if iteration % tcfg.log_interval == 0:
+                writer.scalars({k: float(v) for k, v in metrics.items()},
+                               iteration)
+                if not reported_memory:
+                    report_memory(" ", printer)  # first-log memory report
+                    reported_memory = True       # (training.py:317-319)
 
             if save_dir is not None and iteration % tcfg.save_interval == 0:
                 ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
@@ -121,4 +131,5 @@ def train(task, dataset, cfg: EMDR2Config,
         refresher.stop(wait=True)
     if save_dir is not None:
         ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+    writer.close()
     return iteration
