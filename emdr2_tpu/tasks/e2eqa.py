@@ -198,7 +198,14 @@ class E2EQATask:
         cfg = self.cfg
         batch_size = batch_size or self.global_batch_size
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
-        session = DecoderSession(self.model, self.state.params, max_decode_len)
+        # cache the session: its jitted fns must be reused across eval calls
+        # or every eval recompiles the decoder
+        key = ("decoder_session", max_decode_len)
+        if key not in self._jitted:
+            self._jitted[key] = DecoderSession(
+                self.model, self.state.params, max_decode_len)
+        session = self._jitted[key]
+        session.params = self.state.params  # fresh weights, same jit cache
 
         scores: Dict[int, float] = {}
         for bi, batch in enumerate(dataset.epoch_batches(
