@@ -80,6 +80,13 @@ def run_openqa(args, cfg) -> int:
         task.state, it = ck.load_checkpoint(args.load, abstract)
         print(f"resumed from {args.load} at iteration {it}")
 
+    if getattr(args, "eval_only", False):
+        assert valid_ds is not None, "--eval-only needs --valid-data"
+        em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+                                 max_decode_len=args.max_decode_len)
+        print(f" eval-only | EM {em:.2f} over {n}")
+        return 0
+
     refresher = None
     if args.async_indexer:
         builder = EvidenceIndexBuilder(

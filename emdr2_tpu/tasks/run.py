@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--beam-size", type=int, default=1)
     g.add_argument("--max-decode-len", type=int, default=32)
     g.add_argument("--train-hard-neg", type=int, default=1)
+    g.add_argument("--eval-only", action="store_true",
+                   help="skip training; run EM eval on --valid-data from "
+                        "--load (tools/evaluate_orqa.py equivalent)")
 
     g = p.add_argument_group("mesh")
     g.add_argument("--dp", type=int, default=None,
