@@ -26,10 +26,14 @@ BASELINE_QPS = 10_000.0
 
 
 def main():
+    from emdr2_tpu.ops.mips import row_alignment
+
     cfg = IndexConfig()
     d, k, nq = cfg.embed_dim, 20, 512
-    # per-chip shard of the 21M-passage corpus on a 16-chip system
-    n = (21_015_324 // 16 // cfg.chunk_rows) * cfg.chunk_rows
+    # per-chip shard of the 21M-passage corpus on a 16-chip system,
+    # kernel-aligned as ShardedEvidenceIndex lays it out
+    align = row_alignment(cfg.chunk_rows, cfg.group_size)
+    n = ((21_015_324 // 16) // align) * align
 
     on_cpu = jax.default_backend() == "cpu"
     if on_cpu:  # smoke-scale fallback so the bench still runs anywhere

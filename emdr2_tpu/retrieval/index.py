@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from emdr2_tpu.config import IndexConfig
-from emdr2_tpu.ops.mips import mips_topk
+from emdr2_tpu.ops.mips import mips_topk, row_alignment
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,9 +51,11 @@ class ShardedEvidenceIndex:
         n, d = embeddings.shape
         assert d == cfg.embed_dim, (d, cfg.embed_dim)
         self.n_real = n
-        # pad rows so every device holds an equal chunk-aligned shard
+        # pad rows so every device holds an equal kernel-aligned shard
+        # (alignment avoids an in-jit whole-shard pad copy, ops/mips.py)
+        align = row_alignment(cfg.chunk_rows, cfg.group_size)
         shard_rows = _round_up(
-            _round_up(n, self.n_devices) // self.n_devices, cfg.chunk_rows)
+            _round_up(n, self.n_devices) // self.n_devices, align)
         self.n_padded = shard_rows * self.n_devices
         self.shard_rows = shard_rows
 
