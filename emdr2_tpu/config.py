@@ -50,6 +50,11 @@ class TransformerConfig:
     # Layer parameter sharing (transformer.py:594-616): None = no sharing.
     num_unique_layers: Optional[int] = None
     param_sharing_style: str = "grouped"  # grouped | spaced
+    # Flash-style Pallas kernel for FiD decoder cross-attention (training
+    # path): avoids materializing [B, nh, Ld, K*512] scores. Note:
+    # attention dropout is not applied inside the flash kernel.
+    fid_flash_attention: bool = False
+    flash_key_chunk: int = 512
 
     @property
     def head_dim(self) -> int:

@@ -158,11 +158,15 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic: bool = True,
-                 decode: bool = False, precomputed_kv=None):
+                 decode: bool = False, precomputed_kv=None, kv_bias=None):
         """``precomputed_kv``: a [..., Lk, 2h] projection of the encoder
         states, computed ONCE before the decode loop (see
         ``decoding.DecoderSession``) — the reference instead re-runs the
         whole prefix every step with no caching (search_strategy.py:200-227).
+
+        ``kv_bias`` [B, Lk]: key-side-only additive bias; when provided on
+        the non-decode cross-attention path with ``cfg.fid_flash_attention``,
+        the flash FiD kernel runs instead of materialized-score attention.
         """
         cfg = self.config
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
@@ -186,6 +190,25 @@ class Attention(nn.Module):
             return t.reshape(t.shape[:-1] + (nh, hd))
 
         q, k, v = heads(q), heads(k), heads(v)
+
+        use_flash = (self.cross_attention and not decode
+                     and kv_bias is not None and cfg.fid_flash_attention)
+        if use_flash:
+            key_chunk = min(cfg.flash_key_chunk, k.shape[-3])
+            use_flash = k.shape[-3] % key_chunk == 0
+        if kv_bias is not None and not use_flash:
+            # fall back to materialized attention with the key-side bias
+            kb = kv_bias.astype(jnp.float32)[:, None, None, :]
+            bias = kb if bias is None else bias + kb
+        if use_flash:
+            # flash FiD cross-attention: no [Lq, Lk] score materialization
+            from emdr2_tpu.ops.fid_attention import fid_cross_attention
+            out = fid_cross_attention(q, k, v, kv_bias.astype(jnp.float32),
+                                      key_chunk)
+            out = out.astype(cfg.dtype).reshape(out.shape[:-2] + (h,))
+            return Dense(h, ("heads", "embed"), dtype=cfg.dtype,
+                         kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
+                         name="out")(out)
 
         if decode and not self.cross_attention:
             # Incremental KV cache (flax decode pattern). The reference has no
@@ -254,7 +277,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
                  deterministic: bool = True, decode: bool = False,
-                 cross_kv=None):
+                 cross_kv=None, kv_bias=None):
         cfg = self.config
 
         def resid(y, r):
@@ -270,7 +293,7 @@ class TransformerLayer(nn.Module):
             h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_cross")(x)
             h = Attention(cfg, cross_attention=True, name="cross_attention")(
                 h, kv=enc_out, bias=cross_bias, deterministic=deterministic,
-                decode=decode, precomputed_kv=cross_kv)
+                decode=decode, precomputed_kv=cross_kv, kv_bias=kv_bias)
             x = resid(h, x)
 
         h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_mlp")(x)
@@ -290,7 +313,7 @@ class TransformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, enc_out=None, self_bias=None, cross_bias=None,
                  deterministic: bool = True, decode: bool = False,
-                 cross_kvs=None):
+                 cross_kvs=None, kv_bias=None):
         cfg = self.config
         layer_cls = TransformerLayer
         if cfg.remat and not decode:
@@ -314,6 +337,6 @@ class TransformerStack(nn.Module):
                 u = i // (cfg.num_layers // n_unique)
             x = layers[u](
                 x, enc_out, self_bias, cross_bias, deterministic, decode,
-                cross_kvs[u] if cross_kvs is not None else None)
+                cross_kvs[u] if cross_kvs is not None else None, kv_bias)
         x = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_final")(x)
         return x

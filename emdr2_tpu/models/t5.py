@@ -67,10 +67,19 @@ class T5Model(nn.Module):
         if not decode_step:
             self_bias = masks.mask_to_bias(
                 masks.self_attention_mask(dec_ids, causal=True))[:, None, :, :]
-        cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
+        kv_bias = None
+        cross_bias = None
+        if cfg.fid_flash_attention and not decode_step:
+            # flash path: key-side-only bias (query-side padding rows are
+            # ignored by the loss mask anyway); the big [B,1,Ld,Lk] bias is
+            # never built
+            kv_bias = masks.mask_to_bias(enc_dec_mask[:, 0, :])
+        else:
+            cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
         x = self.decoder(x, enc_out=enc_hidden, self_bias=self_bias,
                          cross_bias=cross_bias, deterministic=deterministic,
-                         decode=decode_step, cross_kvs=cross_kvs)
+                         decode=decode_step, cross_kvs=cross_kvs,
+                         kv_bias=kv_bias)
         x = sharding_constraint(x, ("batch", "length", "embed"))
         logits = self.shared_embeddings.attend(x) + self.lm_bias
         return logits
