@@ -55,6 +55,11 @@ class E2EQATask:
         self._jitted: Dict[str, Callable] = {}
         self.state: Optional[step_lib.TrainState] = None
         self.param_sharding = None
+        # Donating the state buffers into the step is the default; the
+        # prefetch pipeline must disable it (a background thread holds
+        # references to params for stage-A retrieval, and donation would
+        # invalidate them mid-flight).
+        self.donate_state = True
 
     # ------------------------------------------------------------------ setup
 
@@ -167,11 +172,15 @@ class E2EQATask:
                 out_shardings=(self.param_sharding,
                                jax.tree_util.tree_map(lambda _: repl,
                                                       {k: 0 for k in _METRICS})),
-                donate_argnums=(0,))
+                donate_argnums=(0,) if self.donate_state else ())
         return self._jitted["train_step"]
 
     def train_step(self, batch: QABatch) -> Dict[str, float]:
-        device_batch = self.build_device_batch(batch)
+        return self.train_step_prebuilt(self.build_device_batch(batch))
+
+    def train_step_prebuilt(self, device_batch: EMDR2Batch) -> Dict[str, float]:
+        """Run the jitted grad step on an already-retrieved batch (used by
+        the engine's prefetch pipeline)."""
         dp = NamedSharding(self.mesh, P("dp"))
         device_batch = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, dp), device_batch)

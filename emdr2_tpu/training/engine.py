@@ -56,6 +56,7 @@ def train(task, dataset, cfg: EMDR2Config,
           save_dir: Optional[str] = None,
           eval_callback: Optional[Callable[[int], None]] = None,
           tensorboard_dir: Optional[str] = None,
+          prefetch_depth: int = 0,
           printer: Callable[[str], None] = print) -> int:
     """Run the e2e training loop; returns the final iteration.
 
@@ -83,8 +84,17 @@ def train(task, dataset, cfg: EMDR2Config,
     reported_memory = False
 
     for epoch in range(start_epoch, max(tcfg.epochs, start_epoch + 1)):
-        for bi, batch in enumerate(dataset.epoch_batches(
-                B, seed=tcfg.seed + epoch)):
+        epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch)
+        if prefetch_depth > 0:
+            from emdr2_tpu.training.prefetch import BatchPrefetcher
+            # the worker holds param references across steps; the jitted
+            # step must not donate them (see E2EQATask.donate_state)
+            assert not task._jitted.get("train_step") or not task.donate_state, (
+                "enable prefetch before the first train step is compiled")
+            task.donate_state = False
+            epoch_batches = BatchPrefetcher(task, epoch_batches,
+                                            depth=prefetch_depth)
+        for bi, batch in enumerate(epoch_batches):
             if epoch == start_epoch and bi < start_offset:
                 continue  # resume skip (train_e2eqa.py:461-468)
             if iteration >= total_iters:
@@ -100,7 +110,10 @@ def train(task, dataset, cfg: EMDR2Config,
                     ckpt_lib.remove_stale_checkpoints(save_dir, keep_last=2)
 
             timers("step").start()
-            metrics = task.train_step(batch)
+            if prefetch_depth > 0:  # batch is an already-built device batch
+                metrics = task.train_step_prebuilt(batch)
+            else:
+                metrics = task.train_step(batch)
             timers("step").stop()
             iteration += 1
             log.push(iteration, total_iters, metrics)

@@ -152,3 +152,32 @@ class TestEngine:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestPrefetch:
+    def test_prefetched_loop_matches_iteration_count(self, world, tmp_path):
+        import dataclasses
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, epochs=2, log_interval=100, save_interval=1000,
+            eval_interval=1000))
+        it = engine_lib.train(task, ds, cfg, prefetch_depth=2,
+                              printer=lambda s: None)
+        assert it == 2 * (len(ds) // 8)
+        assert np.isfinite(float(task.train_step(
+            next(ds.epoch_batches(8, seed=9)))["loss"]))
+
+    def test_prefetch_error_propagates(self, world):
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+        from emdr2_tpu.training.prefetch import BatchPrefetcher
+
+        def bad_batches():
+            yield next(ds.epoch_batches(8, seed=0))
+            raise ValueError("boom")
+
+        pf = BatchPrefetcher(task, bad_batches(), depth=1)
+        next(pf)  # first batch ok
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="prefetch worker failed"):
+            for _ in pf:
+                pass
