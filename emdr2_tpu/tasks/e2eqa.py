@@ -190,6 +190,27 @@ class E2EQATask:
 
     # ------------------------------------------------------------ evaluation
 
+    def validation_loss(self, dataset, batch_size: Optional[int] = None,
+                        max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Deterministic forward losses over a dataset (the reference's
+        ``validation_loss``, train_e2eqa.py:300-336 / training.py:324-377)."""
+        batch_size = batch_size or self.global_batch_size
+        if "eval_forward" not in self._jitted:
+            self._jitted["eval_forward"] = jax.jit(step_lib.make_eval_forward(
+                self.model, self.cfg, eos_id=self.tok.eos_id))
+        totals: Dict[str, float] = {}
+        n = 0
+        for bi, batch in enumerate(dataset.epoch_batches(
+                batch_size, seed=0, shuffle=False, drop_last=True)):
+            if max_batches is not None and bi >= max_batches:
+                break
+            device_batch = self.build_device_batch(batch)
+            m = self._jitted["eval_forward"](self.state, device_batch)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
     def evaluate_em(self, dataset, batch_size: Optional[int] = None,
                     beam_size: int = 1, max_decode_len: Optional[int] = None,
                     max_batches: Optional[int] = None) -> Tuple[float, int]:

@@ -102,7 +102,9 @@ def run_openqa(args, cfg) -> int:
             print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
 
     final = engine.train(task, train_ds, cfg, refresher=refresher,
-                         save_dir=args.save, eval_callback=eval_cb)
+                         save_dir=args.save, eval_callback=eval_cb,
+                         prefetch_depth=getattr(args, "prefetch_depth", 0),
+                         timeout_minutes=getattr(args, "timeout_minutes", None))
     if valid_ds is not None:
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len)

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--save-interval", type=int, default=500)
     g.add_argument("--eval-interval", type=int, default=500)
     g.add_argument("--exit-interval", type=int, default=None)
+    g.add_argument("--timeout-minutes", type=float, default=None,
+                   help="checkpoint and exit cleanly after this wall-clock "
+                        "budget (ADLR-autoresume equivalent)")
+    g.add_argument("--prefetch-depth", type=int, default=0,
+                   help="host-side input prefetch depth (0 = off)")
     g.add_argument("--beam-size", type=int, default=1)
     g.add_argument("--max-decode-len", type=int, default=32)
     g.add_argument("--train-hard-neg", type=int, default=1)

@@ -57,6 +57,7 @@ def train(task, dataset, cfg: EMDR2Config,
           eval_callback: Optional[Callable[[int], None]] = None,
           tensorboard_dir: Optional[str] = None,
           prefetch_depth: int = 0,
+          timeout_minutes: Optional[float] = None,
           printer: Callable[[str], None] = print) -> int:
     """Run the e2e training loop; returns the final iteration.
 
@@ -82,6 +83,11 @@ def train(task, dataset, cfg: EMDR2Config,
     from emdr2_tpu.utils.monitoring import MetricsWriter, report_memory
     writer = MetricsWriter(tensorboard_dir)
     reported_memory = False
+    # wall-clock budget: checkpoint and exit cleanly before a scheduler kills
+    # the job — the generic equivalent of the reference's cluster-specific
+    # ADLR autoresume polling (global_vars.py:137-152, utils.py:84-98)
+    deadline = (time.perf_counter() + timeout_minutes * 60.0
+                if timeout_minutes else None)
 
     for epoch in range(start_epoch, max(tcfg.epochs, start_epoch + 1)):
         epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch)
@@ -128,6 +134,13 @@ def train(task, dataset, cfg: EMDR2Config,
                 ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
             if eval_callback is not None and iteration % tcfg.eval_interval == 0:
                 eval_callback(iteration)
+            if deadline is not None and time.perf_counter() > deadline:
+                if refresher is not None:
+                    refresher.stop(wait=False)
+                if save_dir is not None:
+                    ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+                printer(f" exiting at iteration {iteration} (time budget)")
+                return iteration
             if tcfg.exit_interval and iteration % tcfg.exit_interval == 0:
                 # clean shutdown: wait for an in-flight index build, final
                 # save, stop (train_e2eqa.py:531-544)

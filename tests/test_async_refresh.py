@@ -181,3 +181,24 @@ class TestPrefetch:
         with _pytest.raises(RuntimeError, match="prefetch worker failed"):
             for _ in pf:
                 pass
+
+
+class TestTimeoutAndValidation:
+    def test_timeout_minutes_exits_with_save(self, world, tmp_path):
+        import dataclasses
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, epochs=50, log_interval=1000, save_interval=1000,
+            eval_interval=1000))
+        it = engine_lib.train(task, ds, cfg, save_dir=str(tmp_path / "t"),
+                              timeout_minutes=1e-9,  # expire immediately
+                              printer=lambda s: None)
+        assert it == 1  # one step then clean exit
+        from emdr2_tpu.training import checkpointing as ck
+        assert ck.latest_iteration(str(tmp_path / "t")) == 1
+
+    def test_validation_loss(self, world):
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+        m = task.validation_loss(ds, max_batches=1)
+        assert set(m) >= {"loss", "lm_loss", "retriever_loss"}
+        assert np.isfinite(m["loss"])
