@@ -111,10 +111,10 @@ class IndexConfig:
     dtype: jnp.dtype = jnp.bfloat16
     topk: int = 50                   # --topk-retrievals (emdr2_nq.sh:96)
     allow_trivial_doc: bool = True   # else fetch K+1 and drop the source doc (emdr2_model.py:389-391)
-    # Pallas kernel tuning (swept on v5e: 40k q/s/chip at 1.3M-row shard,
-    # 4x the >=10k/s baseline target). One query tile up to 512 streams the
+    # Pallas kernel tuning (swept on v5e: 54k q/s/chip at 1.3M-row shard,
+    # 5.4x the >=10k/s baseline target). One query tile up to 512 streams the
     # whole shard through VMEM exactly once.
-    chunk_rows: int = 2048           # evidence rows per kernel tile
+    chunk_rows: int = 8192           # evidence rows per kernel tile
     group_size: int = 128            # candidate group-max reduction factor
     query_tile: int = 512
     exact: bool = False              # exact top-k (tests / CPU) vs fused candidate kernel

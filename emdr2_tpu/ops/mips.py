@@ -47,7 +47,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def row_alignment(chunk_rows: int = 2048, group_size: int = 128) -> int:
+def row_alignment(chunk_rows: int = 8192, group_size: int = 128) -> int:
     """Shard row count should be a multiple of this so ``mips_topk`` never
     has to pad (a pad inside jit copies the whole multi-GB shard every call
     — ~5 ms of pure HBM traffic at 21M/16 scale)."""
@@ -99,8 +99,7 @@ def _mips_candidates_kernel(n_valid_ref, q_ref, e_ref, vals_ref, idx_ref,
     n_groups = chunk_rows // group_size
     s3 = s.reshape(tq, n_groups, group_size)
     m = jnp.max(s3, axis=-1)                                     # [TQ, C/G]
-    within = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    am = jnp.min(jnp.where(s3 == m[..., None], within, group_size), axis=-1)
+    am = jnp.argmax(s3, axis=-1).astype(jnp.int32)
     group_base = chunk_start + group_size * jax.lax.broadcasted_iota(
         jnp.int32, m.shape, 1)
     gidx = group_base + am
@@ -223,7 +222,7 @@ def _candidate_scan(queries: jnp.ndarray, shard: jnp.ndarray, n_valid: int,
 
 
 def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
-              exact: bool = False, chunk_rows: int = 2048,
+              exact: bool = False, chunk_rows: int = 8192,
               group_size: int = 128, query_tile: int = 512,
               interpret: Optional[bool] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -276,7 +275,7 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
 
 def sharded_mips_topk(local_queries: jnp.ndarray, local_shard: jnp.ndarray,
                       k: int, axis_name: str, *,
-                      exact: bool = False, chunk_rows: int = 2048,
+                      exact: bool = False, chunk_rows: int = 8192,
                       group_size: int = 128, query_tile: int = 128,
                       interpret: Optional[bool] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
