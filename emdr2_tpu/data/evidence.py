@@ -23,8 +23,6 @@ import csv
 import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 from emdr2_tpu.data.indexed_dataset import MMapIndexedDataset
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import ast
 import csv
 import sys
-from typing import Dict, List, NamedTuple, Optional, Sequence
+from typing import Dict, List, NamedTuple, Sequence
 
 import numpy as np
 

@@ -7,8 +7,6 @@ CLS-token hidden state — no pooler head (dualencoder_model.py:176-179).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

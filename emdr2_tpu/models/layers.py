@@ -23,8 +23,6 @@ Logical axes used: "batch", "length", "embed", "mlp", "heads", "kv", "vocab".
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ over K independently-encoded passages.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

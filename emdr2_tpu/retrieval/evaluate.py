@@ -11,7 +11,7 @@ no gather choreography is needed.
 from __future__ import annotations
 
 import json
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ replacing the reference's delete-shards / re-unpickle-32GB / re-shard cycle
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

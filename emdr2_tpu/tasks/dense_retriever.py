@@ -16,7 +16,7 @@ DDP fudge (:193) is needed under psum-mean semantics.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, NamedTuple, Optional, Sequence
+from typing import Dict, List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ groups.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ from emdr2_tpu.data.postprocess import postprocess_retrieved
 from emdr2_tpu.data.qa_dataset import QABatch
 from emdr2_tpu.data.tokenizer import BertWordPieceTokenizer
 from emdr2_tpu.models import EMDR2Batch, EMDR2Model
-from emdr2_tpu.parallel.mesh import LOGICAL_RULES, param_shardings
+from emdr2_tpu.parallel.mesh import param_shardings
 from emdr2_tpu.retrieval.index import ShardedEvidenceIndex
 from emdr2_tpu.training import step as step_lib
 

@@ -7,7 +7,6 @@ startup choreography of ``train_e2eqa.py:556-641``.
 from __future__ import annotations
 
 import dataclasses
-import sys
 
 import jax
 import numpy as np
@@ -33,8 +32,7 @@ def run_openqa(args, cfg) -> int:
     from emdr2_tpu.tasks.e2eqa import E2EQATask
     from emdr2_tpu.training import checkpointing as ck
     from emdr2_tpu.training import engine
-    from emdr2_tpu.training.async_refresh import (
-        AsyncIndexRefresher, SynchronousRefresher)
+    from emdr2_tpu.training.async_refresh import AsyncIndexRefresher
 
     assert args.train_data and args.evidence_data_path, (
         "--train-data and --evidence-data-path are required for OPENQA")

@@ -7,7 +7,6 @@ train/eval orchestration in ``train_dense_retriever.py:316-487``.
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 
 def run_retriever(args, cfg) -> int:

@@ -13,7 +13,6 @@ import dataclasses
 import sys
 
 import jax
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

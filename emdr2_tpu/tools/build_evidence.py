@@ -20,8 +20,6 @@ import multiprocessing
 import sys
 import time
 
-import numpy as np
-
 from emdr2_tpu.data.indexed_dataset import MMapIndexedDatasetBuilder, best_dtype
 from emdr2_tpu.data.tokenizer import BertWordPieceTokenizer, load_vocab
 

@@ -39,7 +39,6 @@ def main(argv=None):
     from emdr2_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
 
-    import dataclasses
     from emdr2_tpu import config as C
     from emdr2_tpu.data.evidence import EvidenceCorpus
     from emdr2_tpu.data.qa_dataset import read_qa_csv

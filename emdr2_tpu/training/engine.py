@@ -11,11 +11,8 @@ handshake points.
 
 from __future__ import annotations
 
-import sys
 import time
 from typing import Callable, Dict, List, Optional
-
-import numpy as np
 
 from emdr2_tpu.config import EMDR2Config
 from emdr2_tpu.training import checkpointing as ckpt_lib

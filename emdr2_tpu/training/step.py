@@ -14,7 +14,7 @@ Weight-decay mask parity: LayerNorm params and all biases are excluded
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
