@@ -42,7 +42,8 @@ class TransformerConfig:
     attention_dropout: float = 0.1
     layernorm_epsilon: float = 1e-5
     init_std: float = 0.02           # init_method_std (arguments.py:200)
-    apply_residual_scaled_init: bool = True   # scaled init on output layers (model/utils.py:33-41)
+    # output-layer init is always scaled by 1/sqrt(2*num_layers)
+    # (model/utils.py:33-41) — see models/layers.py:scaled_init
     dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params always fp32
     # Dormant-at-runtime TP in the reference (dualencoder_model.py:15 asserts MP==1)
     # is first-class here: logical axis names resolved against the mesh.
@@ -85,7 +86,6 @@ class RetrieverConfig:
     embed_dim: int = 768             # CLS hidden state used raw (dualencoder_model.py:176-179)
     seq_len: int = 256               # retriever context length (emdr2_nq.sh:48)
     query_seq_len: int = 64
-    share_encoders_from_init: bool = True   # both towers cloned from one BERT ckpt (:111-143)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,8 +132,6 @@ class MeshConfig:
     dp: int = 1                      # data-parallel axis size
     tp: int = 1                      # tensor-parallel axis size
     axis_names: Tuple[str, str] = ("dp", "tp")
-    # Fraction of dp rows dedicated to async re-embedding (0 = synchronous refresh).
-    embedder_rows: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,7 +178,6 @@ class EMDR2Config:
     update_retriever: bool = True    # train the retriever through topk_log_probs
     retriever_score_scaling: bool = True  # divide scores by sqrt(d) (emdr2_model.py:137-141)
     use_kl_div_loss: bool = False    # KL variant (train_e2eqa.py:184-214)
-    shard_reader_over_dp: bool = True
 
     def replace(self, **kw) -> "EMDR2Config":
         return dataclasses.replace(self, **kw)

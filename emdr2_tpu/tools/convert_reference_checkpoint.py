@@ -189,6 +189,16 @@ def convert_dualencoder(de_sd: Dict, num_layers: int, num_heads: int,
                                           version)}
 
 
+def convert_single_bert_to_dual(bert_lm_sd: Dict, num_layers: int,
+                                num_heads: int, version: int) -> Dict:
+    """Clone one BERT trunk into both retriever towers — the reference's
+    ``init_state_dict_from_bert`` path (dualencoder_model.py:111-143), used
+    when starting DPR pretraining from a plain BERT checkpoint."""
+    import copy
+    tower = convert_bert(bert_lm_sd, num_layers, num_heads, version)
+    return {"query_model": tower, "context_model": copy.deepcopy(tower)}
+
+
 def convert_checkpoint(ckpt: Dict, kind: str = "auto",
                        num_layers: int = 12, num_heads: int = 12) -> Dict:
     """Reference torch checkpoint dict -> {"retriever": ..., "reader": ...}
@@ -198,11 +208,21 @@ def convert_checkpoint(ckpt: Dict, kind: str = "auto",
     if kind == "auto":
         if "encoder/t5_model" in model or "retriever/biencoder_model" in model:
             kind = "emdr2"
-        elif "lm_head" in model or "language_model" in model:
-            kind = "t5"
-        else:
+        elif "query_model" in model or "context_model" in model:
             kind = "dualencoder"
+        elif "language_model" in model:
+            # T5 checkpoints have a decoder inside the language model;
+            # plain BERT checkpoints don't
+            kind = ("t5" if "decoder" in model["language_model"] else "bert")
+        else:
+            kind = "bert"
     out: Dict = {}
+    if kind == "bert":
+        # a single BertModel checkpoint: clone the trunk into both towers
+        lm = model.get("language_model", model)
+        out["retriever"] = convert_single_bert_to_dual(
+            lm, num_layers, num_heads, version)
+        return out
     if kind == "emdr2":
         if "encoder/t5_model" in model:
             out["reader"] = convert_t5(model["encoder/t5_model"],
@@ -225,7 +245,7 @@ def main(argv=None):
                    help=".pt file or reference iter_*/mp_rank_00 dir")
     p.add_argument("--output", required=True, help="orbax checkpoint root")
     p.add_argument("--kind", default="auto",
-                   choices=["auto", "emdr2", "t5", "dualencoder"])
+                   choices=["auto", "emdr2", "t5", "dualencoder", "bert"])
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--num-attention-heads", type=int, default=12)
     args = p.parse_args(argv)

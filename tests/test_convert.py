@@ -155,3 +155,22 @@ class TestFullConvert:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestSingleBert:
+    def test_bert_clones_into_both_towers(self):
+        rng = np.random.RandomState(3)
+        L, H, F, nh, V, P = 2, 64, 128, 4, 512, 128
+        ckpt = {"model": {"language_model":
+                          make_megatron_bert(L, H, F, nh, V, P, rng)},
+                "checkpoint_version": 3}
+        params = convert_checkpoint(ckpt, kind="auto", num_layers=L,
+                                    num_heads=nh)
+        assert set(params) == {"retriever"}
+        import jax
+        q = jax.tree_util.tree_leaves(params["retriever"]["query_model"])
+        c = jax.tree_util.tree_leaves(params["retriever"]["context_model"])
+        assert all(np.array_equal(a, b) for a, b in zip(q, c))
+        # towers are independent copies, not views
+        q[0][...] = 0
+        assert not np.array_equal(q[0], c[0])
