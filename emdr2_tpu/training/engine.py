@@ -86,8 +86,21 @@ def train(task, dataset, cfg: EMDR2Config,
     deadline = (time.perf_counter() + timeout_minutes * 60.0
                 if timeout_minutes else None)
 
-    for epoch in range(start_epoch, max(tcfg.epochs, start_epoch + 1)):
-        epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch)
+    # An explicit train_iters is authoritative: epochs cycle (re-shuffled per
+    # pass) until total_iters is reached, matching the reference where
+    # train_iters drives the loop and epochs merely derive it
+    # (train_e2eqa.py:400-412,461-468).
+    # multi-host: every process runs this loop in lockstep; each feeds only
+    # its contiguous slice of the global batch (parallel/distributed.py)
+    import jax as _jax
+    dist_kw = ({"rank": _jax.process_index(),
+                "world_size": _jax.process_count()}
+               if _jax.process_count() > 1 else {})
+
+    epoch = start_epoch
+    while iteration < total_iters and batches_per_epoch > 0:
+        epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch,
+                                              **dist_kw)
         if prefetch_depth > 0:
             from emdr2_tpu.training.prefetch import BatchPrefetcher
             # the worker holds param references across steps; the jitted
@@ -147,8 +160,7 @@ def train(task, dataset, cfg: EMDR2Config,
                     ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
                 printer(f" exiting at iteration {iteration} (exit_interval)")
                 return iteration
-        if iteration >= total_iters:
-            break
+        epoch += 1
 
     if refresher is not None:
         refresher.stop(wait=True)

@@ -31,3 +31,32 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, not the axon TPU tunnel"
 )
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+# Modules whose tests form the <2-minute core subset (pure functions, small
+# jits): run with `pytest -m fast`. The excluded modules drive full train
+# loops / decoders on the 8-device mesh and dominate the ~20-minute suite.
+FAST_MODULES = {
+    "test_foundations.py",
+    "test_losses.py",
+    "test_postprocess.py",
+    "test_native.py",
+    "test_mips.py",
+    "test_index.py",
+    "test_engine_unit.py",
+    "test_checkpointing.py",
+    "test_convert.py",
+    "test_fid_attention.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: quick core subset (select with -m fast)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
