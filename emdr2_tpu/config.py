@@ -132,6 +132,12 @@ class MeshConfig:
     dp: int = 1                      # data-parallel axis size
     tp: int = 1                      # tensor-parallel axis size
     axis_names: Tuple[str, str] = ("dp", "tp")
+    # Devices reserved for the async embedder sub-mesh (the reference's
+    # indexer group: 8 of 16 GPUs, ``mpu/initialize.py:255-263``). The train
+    # mesh takes the first dp*tp devices; the embedder takes the next
+    # ``embed_devices`` — fully disjoint, so re-embedding never steals a
+    # cycle from the train step. 0 = no sub-mesh (embedder shares devices).
+    embed_devices: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

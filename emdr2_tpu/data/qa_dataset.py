@@ -129,13 +129,21 @@ class OpenQADataset:
         )
 
     def epoch_batches(self, batch_size: int, seed: int, drop_last: bool = True,
-                      shuffle: bool = True):
-        """Yield QABatch es for one epoch (epoch-seeded shuffle — parity with
-        samplers.py RandomSampler semantics)."""
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.RandomState(seed).shuffle(order)
-        n = len(order)
-        end = n - n % batch_size if drop_last else n
-        for s in range(0, end, batch_size):
-            yield self.batch(order[s: s + batch_size])
+                      shuffle: bool = True, rank: int = 0,
+                      world_size: int = 1):
+        """Yield QABatches for one epoch (epoch-seeded shuffle — parity with
+        samplers.py RandomSampler semantics).
+
+        ``batch_size`` is the GLOBAL batch size; with ``world_size > 1`` each
+        process yields only its contiguous slice of every global batch
+        (``DistributedBatchSampler``, reference samplers.py:78-148) — the
+        multi-host per-process data feed."""
+        from emdr2_tpu.data.samplers import (DistributedBatchSampler,
+                                             RandomSampler)
+        sampler = (RandomSampler(len(self), seed=seed) if shuffle
+                   else range(len(self)))
+        dbs = DistributedBatchSampler(sampler, batch_size,
+                                      drop_last=drop_last, rank=rank,
+                                      world_size=world_size)
+        for indices in dbs:
+            yield self.batch(indices)

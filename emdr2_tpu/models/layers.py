@@ -193,7 +193,17 @@ class Attention(nn.Module):
                      and kv_bias is not None and cfg.fid_flash_attention)
         if use_flash:
             key_chunk = min(cfg.flash_key_chunk, k.shape[-3])
-            use_flash = k.shape[-3] % key_chunk == 0
+            rem = k.shape[-3] % key_chunk
+            if rem:
+                # pad the key axis to a chunk multiple; padded keys carry a
+                # -1e9 bias so they contribute nothing to the softmax
+                pad = key_chunk - rem
+                widths = [(0, 0)] * k.ndim
+                widths[-3] = (0, pad)
+                k = jnp.pad(k, widths)
+                v = jnp.pad(v, widths)
+                kv_bias = jnp.pad(kv_bias, ((0, 0), (0, pad)),
+                                  constant_values=-1e9)
         if kv_bias is not None and not use_flash:
             # fall back to materialized attention with the key-side bias
             kb = kv_bias.astype(jnp.float32)[:, None, None, :]

@@ -53,6 +53,33 @@ def build_mesh(cfg: Optional[MeshConfig] = None,
     return Mesh(grid, cfg.axis_names)
 
 
+def build_meshes(cfg: MeshConfig,
+                 devices: Optional[Sequence[jax.Device]] = None
+                 ) -> tuple:
+    """Build the train mesh and (optionally) a disjoint embedder sub-mesh.
+
+    Replaces the reference's trainer/indexer rank split
+    (``/root/reference/megatron/mpu/initialize.py:255-263``: TRAIN group
+    ``[0, max_training_rank)``, INDEX group ``[max_training_rank, world)``):
+    the first ``dp*tp`` devices form the train mesh, the next
+    ``cfg.embed_devices`` form an embedder mesh shaped ``(embed_devices, 1)``
+    with the same axis names, so the index builder's ``P("dp")`` shardings
+    resolve unchanged. Returns ``(train_mesh, embed_mesh_or_None)``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n_train = cfg.dp * cfg.tp
+    n_embed = cfg.embed_devices
+    assert n_train + n_embed <= len(devices), (
+        f"mesh wants {n_train} train + {n_embed} embed devices, "
+        f"only {len(devices)} available")
+    train_mesh = build_mesh(cfg, devices[:n_train])
+    if n_embed == 0:
+        return train_mesh, None
+    embed_grid = np.asarray(devices[n_train: n_train + n_embed]).reshape(
+        n_embed, 1)
+    return train_mesh, Mesh(embed_grid, cfg.axis_names)
+
+
 def param_shardings(mesh: Mesh, abstract_variables):
     """Map a pytree of flax logical-partitioning metadata to NamedShardings.
 

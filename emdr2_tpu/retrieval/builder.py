@@ -32,10 +32,16 @@ class EvidenceIndexBuilder:
     def __init__(self, cfg: EMDR2Config, mesh: Mesh, model,
                  corpus: EvidenceCorpus,
                  cls_id: int, sep_id: int, pad_id: int,
-                 batch_size: int = 128):
+                 batch_size: int = 128, embed_method=None):
+        """``embed_method``: the bound flax method that maps (ids, types) to
+        context embeddings; defaults to ``EMDR2Model.embed_context``. Pass
+        ``DualEncoder.embed_context`` to build an index from a standalone
+        DPR model (the reference's post-train IndexBuilder path,
+        train_dense_retriever.py:371-391)."""
         self.cfg = cfg
         self.mesh = mesh
         self.model = model
+        self.embed_method = embed_method
         self.corpus = corpus
         self.cls_id, self.sep_id, self.pad_id = cls_id, sep_id, pad_id
         # round to a dp multiple
@@ -62,16 +68,31 @@ class EvidenceIndexBuilder:
             ids[r], types[r] = row_ids, row_types
         return ids, types
 
+    def place_params(self, params):
+        """Put a param snapshot onto this builder's mesh, replicated — one
+        transfer per refresh instead of one per embed batch. When the builder
+        runs on a disjoint embedder sub-mesh (``parallel.build_meshes``),
+        this is the weight-transport channel that replaces the reference's
+        checkpoint-through-disk hand-off (async_indexer.py:100-108).
+        Params already resolved against this mesh pass through untouched
+        (keeps tp-sharded params sharded on the same-mesh path)."""
+        leaves = jax.tree_util.tree_leaves(params)
+        if leaves and all(
+                isinstance(getattr(leaf, "sharding", None), NamedSharding)
+                and leaf.sharding.mesh == self.mesh for leaf in leaves):
+            return params
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
+
     def _embed(self, params, ids, types):
         if self._embed_fn is None:
             from emdr2_tpu.models import EMDR2Model
 
             dp = NamedSharding(self.mesh, P("dp"))
+            method = self.embed_method or EMDR2Model.embed_context
 
             def f(params, ids, types):
-                return self.model.apply(
-                    {"params": params}, ids, types,
-                    method=EMDR2Model.embed_context)
+                return self.model.apply({"params": params}, ids, types,
+                                        method=method)
 
             self._embed_fn = jax.jit(f, in_shardings=(None, dp, dp),
                                      out_shardings=dp)
@@ -83,10 +104,17 @@ class EvidenceIndexBuilder:
         """Embed every passage; returns [N, d] fp16 host array ordered by
         doc id (row i = doc_id i+1), with full-coverage guaranteed by
         construction (the reference asserts it, indexer_emdr2.py:107-110)."""
+        assert jax.process_count() == 1, (
+            "embed_corpus gathers the full matrix to one host; multi-host "
+            "index refresh needs per-host shard assembly (planned) — run "
+            "the embedder on a single-host sub-mesh for now")
         n = len(self.corpus)
         d = self.cfg.index.embed_dim
         out = np.zeros((n, d), np.float16)
         bs = self.batch_size
+        # commit the params to this builder's mesh once (host snapshots and
+        # cross-mesh arrays alike); per-batch _embed calls then reuse them
+        params = self.place_params(params)
         for start in range(0, n, bs):
             stop = min(start + bs, n)
             doc_ids = np.arange(start + 1, stop + 1)

@@ -117,16 +117,21 @@ class E2EQATask:
     def retrieve(self, query_bert_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Fresh query embeddings -> sharded MIPS top-k -> host passage ids.
 
-        Fetches K+1 when trivial docs must be dropped (emdr2_model.py:389-391).
+        ``query_bert_ids`` is this process's slice of the global batch; the
+        returned passage ids/scores cover the same local rows (each host
+        keeps its slice, as after the reference's MIPS broadcast,
+        emdr2_model.py:454-455). Fetches K+1 when trivial docs must be
+        dropped (emdr2_model.py:389-391).
         """
+        from emdr2_tpu.parallel.distributed import (host_local_rows,
+                                                    make_global_array)
         cfg = self.cfg
         k = cfg.index.topk + (0 if cfg.index.allow_trivial_doc else 1)
-        dp = NamedSharding(self.mesh, P("dp"))
-        ids_dev = jax.device_put(jnp.asarray(query_bert_ids), dp)
+        ids_dev = make_global_array(self.mesh, np.asarray(query_bert_ids))
         q = self._embed_query_fn()(self.state.params, ids_dev)
         scores, rows = self.index.search(q, k=k, queries_sharded=True)
-        rows_h = np.asarray(rows)
-        return self.index.lookup_passage_ids(rows_h), np.asarray(scores)
+        rows_h = host_local_rows(rows)
+        return self.index.lookup_passage_ids(rows_h), host_local_rows(scores)
 
     # --------------------------------------------------------------- stage B
 
@@ -179,10 +184,10 @@ class E2EQATask:
 
     def train_step_prebuilt(self, device_batch: EMDR2Batch) -> Dict[str, float]:
         """Run the jitted grad step on an already-retrieved batch (used by
-        the engine's prefetch pipeline)."""
-        dp = NamedSharding(self.mesh, P("dp"))
-        device_batch = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, dp), device_batch)
+        the engine's prefetch pipeline). ``device_batch`` holds this
+        process's local rows; they assemble into global dp-sharded arrays."""
+        from emdr2_tpu.parallel.distributed import make_global_batch
+        device_batch = make_global_batch(self.mesh, device_batch)
         self.state, metrics = self._train_step_fn()(self.state, device_batch)
         return metrics
 
@@ -194,6 +199,7 @@ class E2EQATask:
         """Deterministic forward losses over a dataset (the reference's
         ``validation_loss``, train_e2eqa.py:300-336 / training.py:324-377)."""
         batch_size = batch_size or self.global_batch_size
+        assert jax.process_count() == 1, "validation_loss is single-host only"
         if "eval_forward" not in self._jitted:
             self._jitted["eval_forward"] = jax.jit(step_lib.make_eval_forward(
                 self.model, self.cfg, eos_id=self.tok.eos_id))
@@ -224,6 +230,10 @@ class E2EQATask:
         from emdr2_tpu.utils.metrics import (
             exact_match_score, metric_max_over_ground_truths)
 
+        assert jax.process_count() == 1, (
+            "evaluate_em is single-host only: run --eval-only from a "
+            "checkpoint on one host (training itself is multi-host capable)")
+
         cfg = self.cfg
         batch_size = batch_size or self.global_batch_size
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
@@ -242,7 +252,11 @@ class E2EQATask:
             if max_batches is not None and bi >= max_batches:
                 break
             if len(batch.query_uid) < batch_size:
-                break  # partial tail batch: shapes must stay static
+                # Pad the tail batch with duplicate rows so jitted shapes stay
+                # static, then rely on the per-uid score dict to dedupe — the
+                # reference does the same with sampler padding duplicates and
+                # an all_gather+uid dedupe (train_e2eqa.py:271-292).
+                batch = _pad_qa_batch(batch, batch_size)
             device_batch = self.build_device_batch(batch)
             if beam_size == 1:
                 hyps = greedy_decode(session, device_batch,
@@ -258,6 +272,22 @@ class E2EQATask:
                     exact_match_score, text, refs)
         n = len(scores)
         return (100.0 * sum(scores.values()) / max(n, 1)), n
+
+
+def _pad_qa_batch(batch: QABatch, batch_size: int) -> QABatch:
+    """Repeat the last row until the batch reaches ``batch_size``.
+
+    Padded rows carry real uids, so the caller's per-uid bookkeeping scores
+    every example exactly once (duplicates overwrite with the same value)."""
+    pad = batch_size - len(batch.query_uid)
+    assert pad > 0
+
+    def rep(x):
+        if isinstance(x, np.ndarray):
+            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        return list(x) + [x[-1]] * pad  # references list
+
+    return QABatch(*[rep(f) for f in batch])
 
 
 _METRICS = ("loss", "lm_loss", "retriever_loss", "retriever_utility",

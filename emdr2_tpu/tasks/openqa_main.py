@@ -26,7 +26,7 @@ def run_openqa(args, cfg) -> int:
     from emdr2_tpu.data.evidence import EvidenceCorpus
     from emdr2_tpu.data.qa_dataset import OpenQADataset
     from emdr2_tpu.data.tokenizer import build_tokenizers
-    from emdr2_tpu.parallel import build_mesh
+    from emdr2_tpu.parallel import build_meshes
     from emdr2_tpu.retrieval import EmbeddingStore, ShardedEvidenceIndex
     from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
     from emdr2_tpu.tasks.e2eqa import E2EQATask
@@ -39,7 +39,7 @@ def run_openqa(args, cfg) -> int:
 
     bert_tok, t5_tok = build_tokenizers(args.vocab_file)
     cfg = _padded_vocab_cfg(cfg, bert_tok, t5_tok)
-    mesh = build_mesh(cfg.mesh)
+    mesh, embed_mesh = build_meshes(cfg.mesh)
 
     corpus = EvidenceCorpus.load(args.evidence_data_path + "_text",
                                  args.evidence_data_path + "_title")
@@ -71,12 +71,33 @@ def run_openqa(args, cfg) -> int:
                      total_train_iters=total_iters)
     task.init_state(jax.random.PRNGKey(cfg.train.seed), B)
 
-    if args.load:
+    resumed = False
+    if args.load and ck.latest_iteration(args.load) is not None:
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
             if hasattr(x, "shape") else x, task.state)
         task.state, it = ck.load_checkpoint(args.load, abstract)
+        resumed = True
         print(f"resumed from {args.load} at iteration {it}")
+    if not resumed and (getattr(args, "pretrained_dpr_load", None)
+                        or getattr(args, "pretrained_t5_load", None)):
+        # iteration-0 init from pretrained DPR / T5 checkpoints
+        # (init_state_dict_from_dpr_and_t5, training.py:156-158)
+        def abstract_of(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+        params = dict(task.state.params)
+        if args.pretrained_dpr_load:
+            params["retriever"] = ck.load_retriever_params(
+                args.pretrained_dpr_load, abstract_of(params["retriever"]))
+            print(f"initialized retriever from {args.pretrained_dpr_load}")
+        if args.pretrained_t5_load:
+            params["reader"] = ck.load_reader_params(
+                args.pretrained_t5_load, abstract_of(params["reader"]))
+            print(f"initialized reader from {args.pretrained_t5_load}")
+        params = jax.device_put(params, task.param_sharding.params)
+        task.state = task.state._replace(params=params)
 
     if getattr(args, "eval_only", False):
         assert valid_ds is not None, "--eval-only needs --valid-data"
@@ -87,9 +108,11 @@ def run_openqa(args, cfg) -> int:
 
     refresher = None
     if args.async_indexer:
+        # the embedder jits onto its own disjoint sub-mesh when configured
+        # (--embed-devices N), the train mesh otherwise
         builder = EvidenceIndexBuilder(
-            cfg, mesh, task.model, corpus, t5_tok.cls_id, t5_tok.sep_id,
-            t5_tok.pad_id)
+            cfg, embed_mesh if embed_mesh is not None else mesh, task.model,
+            corpus, t5_tok.cls_id, t5_tok.sep_id, t5_tok.pad_id)
         refresher = AsyncIndexRefresher(
             builder, index, reload_interval=cfg.train.index_reload_interval)
 

@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seq-length-dec", type=int, default=32)
     g.add_argument("--remat", action="store_true",
                    help="activation checkpointing in the transformer stacks")
+    g.add_argument("--fid-flash-attention", action="store_true",
+                   help="Pallas flash kernel for FiD decoder cross-attention "
+                        "over K*512 keys (no [Lq, Lk] score materialization; "
+                        "replaces the reference's activation-checkpointing "
+                        "survival strategy, transformer.py:621-646)")
+    g.add_argument("--flash-key-chunk", type=int, default=512)
 
     g = p.add_argument_group("emdr2")
     g.add_argument("--topk-retrievals", type=int, default=50)
@@ -70,14 +76,35 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--beam-size", type=int, default=1)
     g.add_argument("--max-decode-len", type=int, default=32)
     g.add_argument("--train-hard-neg", type=int, default=1)
+    g.add_argument("--val-av-rank-hard-neg", type=int, default=30,
+                   help="hard negatives per query in av-rank validation "
+                        "(train_data_utils.py:177-182)")
+    g.add_argument("--val-av-rank-other-neg", type=int, default=30)
+    g.add_argument("--report-topk-accuracies", type=int, nargs="+",
+                   default=[1, 5, 20, 100])
+    g.add_argument("--match", default="string",
+                   choices=["string", "regex"],
+                   help="answer-matching mode for recall evaluation")
     g.add_argument("--eval-only", action="store_true",
                    help="skip training; run EM eval on --valid-data from "
                         "--load (tools/evaluate_orqa.py equivalent)")
 
     g = p.add_argument_group("mesh")
     g.add_argument("--dp", type=int, default=None,
-                   help="data-parallel axis size (default: all devices)")
+                   help="data-parallel axis size (default: all devices "
+                        "not reserved for the embedder)")
     g.add_argument("--tp", type=int, default=1)
+    g.add_argument("--embed-devices", type=int, default=0,
+                   help="devices reserved for the async embedder sub-mesh "
+                        "(the reference's indexer group: 8 of 16 GPUs, "
+                        "--max-training-rank)")
+    g.add_argument("--coordinator-address", default=None,
+                   help="multi-host: host:port of process 0 "
+                        "(MASTER_ADDR:MASTER_PORT equivalent)")
+    g.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (WORLD_SIZE)")
+    g.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (RANK)")
 
     g = p.add_argument_group("data")
     g.add_argument("--vocab-file", required=True)
@@ -91,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "embeddings (or reference .pkl to ingest)")
     g.add_argument("--save", default=None, help="checkpoint dir")
     g.add_argument("--load", default=None, help="resume checkpoint dir")
+    g.add_argument("--qa-file-dev", default=None,
+                   help="QA csv for post-train retrieval recall (RETRIEVER)")
+    g.add_argument("--qa-file-test", default=None)
+    g.add_argument("--pretrained-dpr-load", default=None,
+                   help="init the retriever subtree from a DPR checkpoint "
+                        "at iteration 0 (reference --pretrained-dpr-load)")
+    g.add_argument("--pretrained-t5-load", default=None,
+                   help="init the reader subtree from a T5 checkpoint "
+                        "at iteration 0 (reference --pretrained-t5-load)")
 
     return p
 
@@ -101,7 +137,9 @@ def make_config(args):
     enc = C.TransformerConfig(
         hidden_size=args.hidden_size, num_layers=args.num_layers,
         num_heads=args.num_attention_heads, ffn_size=args.ffn_hidden_size,
-        num_tokentypes=2, remat=args.remat)
+        num_tokentypes=2, remat=args.remat,
+        fid_flash_attention=args.fid_flash_attention,
+        flash_key_chunk=args.flash_key_chunk)
     t5c = dataclasses.replace(enc, num_tokentypes=0)
     cfg = C.EMDR2Config(
         retriever=C.RetrieverConfig(
@@ -113,7 +151,10 @@ def make_config(args):
         index=C.IndexConfig(
             embed_dim=args.hidden_size, topk=args.topk_retrievals,
             allow_trivial_doc=args.allow_trivial_doc),
-        mesh=C.MeshConfig(dp=args.dp or len(jax.devices()), tp=args.tp),
+        mesh=C.MeshConfig(
+            dp=args.dp or max(1, (len(jax.devices()) - args.embed_devices)
+                              // args.tp),
+            tp=args.tp, embed_devices=args.embed_devices),
         train=C.TrainConfig(
             batch_size=args.batch_size, train_iters=args.train_iters,
             epochs=args.epochs, seed=args.seed,
@@ -136,6 +177,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from emdr2_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
+    # multi-host rendezvous BEFORE any device use (the reference's
+    # init_distributed TCP rendezvous, initialize.py:76-110)
+    from emdr2_tpu.parallel.distributed import init_distributed
+    if init_distributed(args.coordinator_address, args.num_processes,
+                        args.process_id):
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     if args.task == "OPENQA":
         from emdr2_tpu.tasks.openqa_main import run_openqa
         return run_openqa(args, make_config(args))

@@ -8,11 +8,16 @@ checkpoints, with 1-element Gloo broadcasts (``NEW_INDEX_READY`` /
 ``NEW_CHKPT_READY``) as the control plane.
 
 TPU-native, single-program design: a background thread drives the embedder
-work on its own mesh (a disjoint sub-mesh of the pod in production; any mesh
-on test hardware). Data plane is memory — retriever weights are handed to
-the worker as a device snapshot, finished embeddings are handed back as a
-host array hot-swapped into the ShardedEvidenceIndex — and the control plane
-is two events mirroring the reference's READY/CHKPT ordering:
+work on the builder's mesh. With ``MeshConfig.embed_devices > 0`` that mesh
+is a truly disjoint device sub-mesh (``parallel.build_meshes``) — the
+embedder's jitted program is compiled against devices the train step never
+touches, so re-embedding runs concurrently with training at the hardware
+level, exactly like the reference's 8 dedicated indexer GPUs. Data plane is
+memory — retriever weights are handed to the worker as a host snapshot and
+committed to the embed mesh once per refresh
+(``EvidenceIndexBuilder.place_params``), finished embeddings are handed back
+as a host array hot-swapped into the ShardedEvidenceIndex — and the control
+plane is two events mirroring the reference's READY/CHKPT ordering:
 
     trainer                         embedder thread
     -------                         ---------------

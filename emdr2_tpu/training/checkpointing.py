@@ -52,9 +52,10 @@ def save_checkpoint(root: str, state: Any, iteration: int) -> str:
     os.makedirs(root, exist_ok=True)
     path = iter_dir(root, iteration)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
-    with open(os.path.join(root, TRACKER), "w") as f:
-        f.write(str(iteration))
+        ckptr.save(path, state, force=True)  # multihost: collective save
+    if jax.process_index() == 0:  # single-writer tracker (rank-0 write,
+        with open(os.path.join(root, TRACKER), "w") as f:  # :135-142)
+            f.write(str(iteration))
     return path
 
 

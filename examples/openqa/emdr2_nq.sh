@@ -5,8 +5,10 @@
 # 10 epochs, lr 2e-5 linear warmup 1%, async index refresh every 500 steps.
 #
 # The reference launches 16 processes (8 trainers + 8 indexers); here one
-# program drives the whole mesh and the embedder runs as the async refresher.
-# Set --dp to the number of chips; the evidence index shards over all of them.
+# program drives the whole mesh: the first DP chips form the train mesh and
+# the next EMBED_DEVICES chips form the disjoint embedder sub-mesh (the
+# reference's indexer group). On a 16-chip slice, DP=8 EMBED_DEVICES=8
+# reproduces the reference topology exactly.
 
 set -euo pipefail
 
@@ -18,6 +20,7 @@ TRAIN_DATA=${TRAIN_DATA:-$DATA_DIR/nq-train.csv}
 VALID_DATA=${VALID_DATA:-$DATA_DIR/nq-dev.csv}
 CHECKPOINT_PATH=${CHECKPOINT_PATH:-checkpoints/emdr2-nq}
 DP=${DP:-8}
+EMBED_DEVICES=${EMBED_DEVICES:-8}
 
 python -m emdr2_tpu.tasks.run \
     --task OPENQA \
@@ -44,9 +47,12 @@ python -m emdr2_tpu.tasks.run \
     --update-retriever \
     --allow-trivial-doc \
     --async-indexer \
+    --embed-devices "$EMBED_DEVICES" \
+    --fid-flash-attention \
+    --remat \
     --index-reload-interval 500 \
     --log-interval 20 \
     --save-interval 500 \
     --eval-interval 500 \
     --max-decode-len 32 \
-    --beam-size 1
+    --beam-size 1 "$@"

@@ -26,5 +26,7 @@ python -m emdr2_tpu.tasks.run \
     --weight-decay 0.1 --clip-grad 1.0 \
     --retriever-score-scaling --update-retriever --allow-trivial-doc \
     --async-indexer --index-reload-interval 500 \
+    --embed-devices "${EMBED_DEVICES:-12}" \
+    --fid-flash-attention --remat \
     --log-interval 20 --save-interval 500 --eval-interval 500 \
     --max-decode-len 32 "$@"

@@ -1,0 +1,63 @@
+"""Worker process for test_multihost: drives the REAL E2EQATask (stages
+A/B/C, host postprocess, sharded MIPS) on a multi-process CPU mesh.
+
+Launched by tests/test_multihost.py with:
+    python tests/multihost_worker.py <pid> <nproc> <coordinator> <tmpdir>
+and XLA_FLAGS forcing N virtual devices per process. Each process feeds only
+its DistributedBatchSampler slice of every global batch; losses print on one
+line for the parent to compare across processes and against a single-process
+run.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_threefry_partitionable", True)
+
+
+def main() -> None:
+    pid, nproc, coord, tmpdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    sys.path.insert(0, "/root/repo")
+    import pathlib
+
+    import numpy as np
+
+    from emdr2_tpu.config import MeshConfig
+    from emdr2_tpu.parallel import build_mesh
+    from emdr2_tpu.retrieval import ShardedEvidenceIndex
+    from emdr2_tpu.tasks import E2EQATask
+    from tests.helpers import build_toy_world
+
+    # each process builds its own (deterministic, identical) toy world copy
+    world_dir = pathlib.Path(tmpdir) / f"world_p{pid}"
+    world_dir.mkdir(parents=True, exist_ok=True)
+    cfg, tok, corpus, ds, _ = build_toy_world(world_dir)
+
+    total = jax.device_count()
+    mesh = build_mesh(MeshConfig(dp=total, tp=1), jax.devices())
+    emb = np.random.RandomState(0).randn(
+        len(corpus), cfg.index.embed_dim).astype(np.float32)
+    index = ShardedEvidenceIndex(mesh, cfg.index, emb)
+    task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
+    task.init_state(jax.random.PRNGKey(0), total)
+
+    losses = []
+    for epoch in range(2):
+        for batch in ds.epoch_batches(total, seed=epoch, rank=pid,
+                                      world_size=nproc):
+            m = task.train_step(batch)
+            losses.append(float(m["loss"]))
+    print("LOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
+
+
+if __name__ == "__main__":
+    main()

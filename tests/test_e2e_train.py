@@ -51,6 +51,23 @@ class TestE2ETrain:
         first, last = np.mean(losses[:3]), np.mean(losses[-3:])
         assert last < first * 0.9, (first, last, losses)
 
+    def test_em_eval_scores_tail_batch(self, world):
+        """n % B != 0 must not drop examples: the tail batch is padded with
+        duplicate rows and deduped by uid (train_e2eqa.py:271-292 parity)."""
+        cfg, tok, corpus, ds, _ = world
+        mesh = build_mesh()
+        rng = np.random.RandomState(2)
+        emb = rng.randn(len(corpus), cfg.index.embed_dim).astype(np.float32)
+        index = ShardedEvidenceIndex(mesh, cfg.index, emb)
+        task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
+        task.init_state(jax.random.PRNGKey(2), 8)
+        import copy
+        ds_odd = copy.copy(ds)
+        ds_odd.examples = ds.examples[:19]  # 19 % 8 != 0 -> padded tail batch
+        em, n = task.evaluate_em(ds_odd, batch_size=8, max_decode_len=4)
+        assert n == 19, "tail-batch examples were dropped"
+        assert 0.0 <= em <= 100.0
+
     def test_metrics_structure(self, world):
         cfg, tok, corpus, ds, _ = world
         mesh = build_mesh()

@@ -58,9 +58,10 @@ class TestFlashIntegration:
                     for a, b in zip(ls, lf))
         assert worst < 5e-4, worst
 
-    def test_nondivisible_falls_back_with_mask(self):
-        """Lk not divisible by key_chunk -> standard path but kv mask must
-        still be applied (padding keys don't leak attention)."""
+    def test_nondivisible_tail_is_padded(self):
+        """Lk not divisible by key_chunk -> the key axis is padded to a chunk
+        multiple with -1e9 bias and the flash kernel still runs; padded keys
+        must not leak attention."""
         cfg = tiny_config()
         # Lk = K*Lr = 4*48 = 192; force chunk that doesn't divide
         cfgf = flash_cfg(cfg, key_chunk=129)
