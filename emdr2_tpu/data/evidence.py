@@ -93,6 +93,25 @@ class EvidenceCorpus:
         self.passages = passages
         self.titles = titles
         self.title_map = title_map or TitleDocMap.from_title_store(titles)
+        self._ntable = None
+
+    def neighbour_table(self):
+        """Dense per-row neighbour windows for the C++ postprocess:
+        (win [N,3] int64 1-based ids 0-padded, pos [N] int8 in {0,1,-1},
+        wlen [N] int8). Built once and cached."""
+        if self._ntable is None:
+            import numpy as np
+            n = len(self)
+            win = np.zeros((n, 3), np.int64)
+            pos = np.zeros(n, np.int8)
+            wlen = np.zeros(n, np.int8)
+            for doc_id in range(1, n + 1):
+                docs, p = self.neighbours(doc_id)
+                win[doc_id - 1, : len(docs)] = docs
+                pos[doc_id - 1] = p
+                wlen[doc_id - 1] = len(docs)
+            self._ntable = (win, pos, wlen)
+        return self._ntable
 
     @classmethod
     def load(cls, text_prefix: str, title_prefix: str) -> "EvidenceCorpus":

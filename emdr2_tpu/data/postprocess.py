@@ -135,7 +135,41 @@ def postprocess_retrieved(query_uids: Sequence[int],
 
     topk_passage_ids is [B, K'] with K' >= topk (K'=topk+1 when trivial docs
     are excluded). Extra hits beyond ``topk`` survivors are dropped.
+
+    The C++ extension runs the whole B*K row build in one call (~3,200 rows
+    per step at the flagship shape — SURVEY §7 hard-part 3); this Python
+    loop is the golden reference it is tested against, and the fallback.
     """
+    native = None
+    try:  # fall back to pure Python only if the extension can't build/load
+        from emdr2_tpu.native import batch_postprocess as native
+        win, pos, wlen = corpus.neighbour_table()
+    except Exception:
+        native = None
+    if native is not None:
+        ctx_ids, ctx_types, reader, reader_one, k_out = native(
+            corpus.titles, corpus.passages, win, pos, wlen,
+            np.asarray(query_t5_ids), np.asarray(query_t5_lens),
+            np.asarray(query_uids, np.int64),
+            np.asarray(topk_passage_ids, np.int64), topk,
+            retriever_seq_len, reader_seq_len, cls_id, sep_id, pad_id)
+        assert (k_out == topk).all(), (
+            f"only {k_out.min()} usable docs for some query; retrieve "
+            f"topk+1 when allow_trivial_doc is off")
+        return PostprocessedBatch(ctx_ids, ctx_types, reader, reader_one)
+
+    return postprocess_retrieved_python(
+        query_uids, query_t5_ids, query_t5_lens, topk_passage_ids, corpus,
+        topk, retriever_seq_len, reader_seq_len, cls_id, sep_id, pad_id)
+
+
+def postprocess_retrieved_python(query_uids, query_t5_ids, query_t5_lens,
+                                 topk_passage_ids, corpus, topk,
+                                 retriever_seq_len, reader_seq_len,
+                                 cls_id, sep_id, pad_id
+                                 ) -> PostprocessedBatch:
+    """The pure-Python golden implementation (see parity test in
+    tests/test_native.py)."""
     B = len(query_uids)
     ctx_ids = np.full((B, topk, retriever_seq_len), pad_id, np.int32)
     ctx_types = np.full((B, topk, retriever_seq_len), pad_id, np.int32)

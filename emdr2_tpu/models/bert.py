@@ -55,21 +55,28 @@ class DualEncoder(nn.Module):
         self.context_model = BertEncoder(self.config.encoder)
 
     def __call__(self, query_ids=None, context_ids=None,
+                 query_types=None, context_types=None,
                  deterministic: bool = True):
         """Returns (query_embeds, context_embeds); either may be None.
 
         Parity with forward (dualencoder_model.py:56-74) / ``embed_text``
-        (:76-82): embeddings are fp32 CLS states.
+        (:76-82): embeddings are fp32 CLS states; token types carry the
+        [CLS] title [SEP] text [SEP] segmentation.
         """
         q = c = None
         if query_ids is not None:
-            q = self.embed_query(query_ids, deterministic)
+            q = self.embed_query(query_ids, query_types, deterministic)
         if context_ids is not None:
-            c = self.embed_context(context_ids, deterministic)
+            c = self.embed_context(context_ids, context_types, deterministic)
         return q, c
 
-    def embed_query(self, ids, deterministic: bool = True):
-        return self.query_model.embed(ids, deterministic=deterministic).astype(jnp.float32)
+    def embed_query(self, ids, tokentype_ids=None, deterministic: bool = True):
+        return self.query_model.embed(
+            ids, tokentype_ids=tokentype_ids,
+            deterministic=deterministic).astype(jnp.float32)
 
-    def embed_context(self, ids, deterministic: bool = True):
-        return self.context_model.embed(ids, deterministic=deterministic).astype(jnp.float32)
+    def embed_context(self, ids, tokentype_ids=None,
+                      deterministic: bool = True):
+        return self.context_model.embed(
+            ids, tokentype_ids=tokentype_ids,
+            deterministic=deterministic).astype(jnp.float32)

@@ -86,7 +86,8 @@ class EMDR2Model(nn.Module):
 
     def embed_query(self, query_bert_ids, deterministic: bool = True):
         """[B, Lq] -> [B, d] fp32 fresh query embeddings (emdr2_model.py:98-104)."""
-        return self.retriever.embed_query(query_bert_ids, deterministic)
+        return self.retriever.embed_query(query_bert_ids,
+                                          deterministic=deterministic)
 
     def embed_context(self, context_bert_ids, tokentype_ids=None,
                       deterministic: bool = True):
@@ -100,7 +101,8 @@ class EMDR2Model(nn.Module):
     def _topk_log_probs(self, batch: EMDR2Batch, deterministic: bool):
         cfg = self.config
         B, K, Lc = batch.context_bert_ids.shape
-        q = self.retriever.embed_query(batch.query_bert_ids, deterministic)
+        q = self.retriever.embed_query(batch.query_bert_ids,
+                                       deterministic=deterministic)
         c = self.retriever.context_model.embed(
             batch.context_bert_ids.reshape(B * K, Lc),
             tokentype_ids=batch.context_bert_types.reshape(B * K, Lc),

@@ -80,6 +80,58 @@ _FORMAT_BY_DTYPES = {
 }
 
 
+_POSTPROCESS_DTYPES = {np.dtype(np.uint16): 0, np.dtype(np.int32): 1}
+
+
+def batch_postprocess(titles, texts, win: np.ndarray, pos: np.ndarray,
+                      wlen: np.ndarray, query_ids: np.ndarray,
+                      query_lens: np.ndarray, query_uids: np.ndarray,
+                      topk_ids: np.ndarray, topk: int, retriever_seq_len: int,
+                      reader_seq_len: int, cls_id: int, sep_id: int,
+                      pad_id: int):
+    """C++ fast path for the full retrieval postprocess
+    (``data/postprocess.py:postprocess_retrieved`` is the golden reference).
+    titles/texts are MMapIndexedDatasets; win/pos/wlen the corpus
+    neighbour table (``EvidenceCorpus.neighbour_table``). Returns
+    (ctx_ids, ctx_types, reader, reader_one, k_out)."""
+    lib = get_lib()
+    title_dt = _POSTPROCESS_DTYPES[np.dtype(titles.dtype)]
+    text_dt = _POSTPROCESS_DTYPES[np.dtype(texts.dtype)]
+    B = len(query_uids)
+    Kp = topk_ids.shape[1]
+    Lc, Lr = retriever_seq_len, reader_seq_len
+    query_ids = np.ascontiguousarray(query_ids, np.int32)
+    ctx_ids = np.empty((B, topk, Lc), np.int32)
+    ctx_types = np.empty((B, topk, Lc), np.int32)
+    reader = np.empty((B, topk, Lr), np.int32)
+    reader_one = np.empty((B, topk, Lr), np.int32)
+    k_out = np.empty((B,), np.int32)
+    lib.postprocess_batch(
+        _ptr(titles._bin.view(np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(titles.pointers, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(titles.sizes, np.int32), ctypes.c_int32),
+        ctypes.c_int(title_dt),
+        _ptr(texts._bin.view(np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(texts.pointers, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(texts.sizes, np.int32), ctypes.c_int32),
+        ctypes.c_int(text_dt),
+        _ptr(np.ascontiguousarray(win, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(pos, np.int8), ctypes.c_int8),
+        _ptr(np.ascontiguousarray(wlen, np.int8), ctypes.c_int8),
+        _ptr(query_ids, ctypes.c_int32),
+        _ptr(np.ascontiguousarray(query_lens, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(query_uids, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(topk_ids, np.int64), ctypes.c_int64),
+        ctypes.c_int64(B), ctypes.c_int64(Kp), ctypes.c_int64(topk),
+        ctypes.c_int64(query_ids.shape[1]), ctypes.c_int64(Lc),
+        ctypes.c_int64(Lr), ctypes.c_int32(cls_id), ctypes.c_int32(sep_id),
+        ctypes.c_int32(pad_id),
+        _ptr(ctx_ids, ctypes.c_int32), _ptr(ctx_types, ctypes.c_int32),
+        _ptr(reader, ctypes.c_int32), _ptr(reader_one, ctypes.c_int32),
+        _ptr(k_out, ctypes.c_int32))
+    return ctx_ids, ctx_types, reader, reader_one, k_out
+
+
 def batch_context_format(titles, texts, doc_ids: np.ndarray, max_len: int,
                          cls_id: int, sep_id: int, pad_id: int):
     """Format [CLS] title [SEP] text [SEP] pad rows for many (1-based)

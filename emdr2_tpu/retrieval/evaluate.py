@@ -25,9 +25,14 @@ from emdr2_tpu.retrieval.qa_validation import calculate_matches
 
 class OpenRetrievalEvaluator:
     def __init__(self, mesh: Mesh, model, params, index: ShardedEvidenceIndex,
-                 tokenizer, query_seq_len: int, batch_size: int = 64):
+                 tokenizer, query_seq_len: int, batch_size: int = 64,
+                 embed_method=None):
+        """``embed_method``: bound flax method mapping query ids to
+        embeddings; defaults to ``EMDR2Model.embed_query``. Pass
+        ``DualEncoder.embed_query`` to evaluate a standalone DPR model."""
         self.mesh = mesh
         self.model = model
+        self.embed_method = embed_method
         self.params = params
         self.index = index
         self.tok = tokenizer
@@ -41,10 +46,11 @@ class OpenRetrievalEvaluator:
             from emdr2_tpu.models import EMDR2Model
 
             dp = NamedSharding(self.mesh, P("dp"))
+            method = self.embed_method or EMDR2Model.embed_query
 
             def f(params, ids):
                 return self.model.apply({"params": params}, ids,
-                                        method=EMDR2Model.embed_query)
+                                        method=method)
 
             self._embed_fn = jax.jit(f, in_shardings=(None, dp),
                                      out_shardings=dp)

@@ -75,16 +75,28 @@ class DPRBatch(NamedTuple):
 
 class DPRDataset:
     """Train sample = 1 positive + ``hard_negs`` hard negatives (padded with
-    easy negatives when short — train_data_utils.py:183-198)."""
+    easy negatives when short — train_data_utils.py:183-198).
+
+    With ``evaluate=True``, each sample instead carries the av-rank
+    validation layout: ``val_av_rank_other_neg`` easy + ``val_av_rank_hard_neg``
+    hard negatives, deterministically the first of each list
+    (train_data_utils.py:177-182). Short lists are padded by repeating the
+    last available negative (the reference assumes DPR data always has
+    enough; static shapes require a rule)."""
 
     def __init__(self, path: str, tokenizer: BertWordPieceTokenizer,
                  query_seq_len: int, ctx_seq_len: int, hard_negs: int = 1,
-                 seed: int = 1234):
+                 seed: int = 1234, evaluate: bool = False,
+                 val_av_rank_other_neg: int = 30,
+                 val_av_rank_hard_neg: int = 30):
         self.examples = read_dpr_json(path)
         self.tok = tokenizer
         self.query_seq_len = query_seq_len
         self.ctx_seq_len = ctx_seq_len
         self.hard_negs = hard_negs
+        self.evaluate = evaluate
+        self.val_other_neg = val_av_rank_other_neg
+        self.val_hard_neg = val_av_rank_hard_neg
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -115,18 +127,36 @@ class DPRDataset:
             negs.append(ex.positives[0])
         return negs
 
+    def _pick_eval_negatives(self, ex: DPRExample) -> List[dict]:
+        """First ``val_other_neg`` easy + ``val_hard_neg`` hard negatives
+        (train_data_utils.py:177-182), repeat-padded to a fixed count."""
+        negs = (list(ex.negatives[: self.val_other_neg])
+                + list(ex.hard_negatives[: self.val_hard_neg]))
+        want = self.val_other_neg + self.val_hard_neg
+        if not negs:
+            negs = [ex.positives[0]]  # degenerate row; rank still well-defined
+        while len(negs) < want:
+            negs.append(negs[-1])
+        return negs
+
     def batch(self, indices: Sequence[int]) -> DPRBatch:
-        B, H = len(indices), self.hard_negs
+        B = len(indices)
+        H = (self.val_other_neg + self.val_hard_neg if self.evaluate
+             else self.hard_negs)
         q_ids = np.zeros((B, self.query_seq_len), np.int32)
         ctx_ids = np.zeros((B * (1 + H), self.ctx_seq_len), np.int32)
         ctx_types = np.zeros_like(ctx_ids)
-        # layout: rows [0, B) = positives, rows [B, B*(1+H)) = hard negatives
+        # layout: rows [0, B) = positives, rows [B, B*(1+H)) = negatives
+        # (matching the torch.cat([context, neg_context]) order the reference
+        # scores against, train_dense_retriever.py:446-450)
         for r, i in enumerate(indices):
             ex = self.examples[i]
             q_ids[r] = self._encode_query(ex.question)
             pos = ex.positives[0]
             ctx_ids[r], ctx_types[r] = self._encode_ctx(pos)
-            for h, neg in enumerate(self._pick_negatives(ex)):
+            negs = (self._pick_eval_negatives(ex) if self.evaluate
+                    else self._pick_negatives(ex))
+            for h, neg in enumerate(negs):
                 row = B + r * H + h
                 ctx_ids[row], ctx_types[row] = self._encode_ctx(neg)
         return DPRBatch(q_ids, np.zeros_like(q_ids), ctx_ids, ctx_types,
@@ -144,6 +174,19 @@ class DPRDataset:
 # ---------------------------------------------------------------------------
 # trainer
 # ---------------------------------------------------------------------------
+
+class DPRState(NamedTuple):
+    """Checkpointable bundle. ``params`` nests the dual encoder under the
+    key ``retriever`` so the standard partial loaders
+    (``checkpointing.load_retriever_params``) and checkpoint surgery consume
+    DPR checkpoints and EMDR2 checkpoints identically — parity with the
+    reference where both store ``retriever/biencoder_model``
+    (emdr2_model.py:217-226, train_dense_retriever.py:305-309)."""
+
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
 
 class DPRTask:
     """Jitted contrastive training of the dual encoder over a mesh."""
@@ -174,6 +217,18 @@ class DPRTask:
         self.opt_state = self.tx.init(self.params)
         return self.params
 
+    # ---- checkpointing (train_dense_retriever.py:305-309 parity) ----------
+
+    def get_state(self) -> DPRState:
+        return DPRState(params={"retriever": self.params},
+                        opt_state=self.opt_state,
+                        step=jnp.asarray(self.step, jnp.int32))
+
+    def set_state(self, state: DPRState) -> None:
+        self.params = state.params["retriever"]
+        self.opt_state = state.opt_state
+        self.step = int(state.step)
+
     def _build_step(self):
         model, tx = self.model, self.tx
         hidden = self.cfg.encoder.hidden_size
@@ -184,8 +239,9 @@ class DPRTask:
             def loss_fn(p):
                 q, c = model.apply(
                     {"params": p}, jnp.asarray(batch.query_ids),
-                    jnp.asarray(batch.ctx_ids), deterministic=False,
-                    rngs={"dropout": rng})
+                    jnp.asarray(batch.ctx_ids),
+                    context_types=jnp.asarray(batch.ctx_types),
+                    deterministic=False, rngs={"dropout": rng})
                 loss, correct = dpr_in_batch_loss(
                     q, c, hidden_size=hidden, score_scaling=scale,
                     labels=batch.labels)
@@ -214,20 +270,32 @@ class DPRTask:
 
     # ---- validation (av-rank / top-1, train_dense_retriever.py:429-487) ----
 
-    def validate(self, batches) -> Dict[str, float]:
-        correct = total = 0
+    def validate(self, batches,
+                 report_topk: Sequence[int] = (1, 5, 20, 100)
+                 ) -> Dict[str, float]:
+        """Scores each query against ALL context rows of its batch — with the
+        30+30 eval layout that is B positives + B*60 negatives, the same
+        candidate pool as the reference (train_dense_retriever.py:446-487).
+        Returns average rank of the positive and top-k accuracies."""
+        total = 0
         rank_sum = 0.0
+        topk_hits = {k: 0 for k in report_topk}
         for batch in batches:
             q, c = self.model.apply(
                 {"params": self.params}, jnp.asarray(batch.query_ids),
-                jnp.asarray(batch.ctx_ids))
+                jnp.asarray(batch.ctx_ids),
+                context_types=jnp.asarray(batch.ctx_types))
             scores = np.asarray(jnp.matmul(q, c.T))
             if self.score_scaling:
                 scores = scores / np.sqrt(self.cfg.encoder.hidden_size)
             order = np.argsort(-scores, axis=1)
             ranks = np.argmax(order == batch.labels[:, None], axis=1)
             rank_sum += ranks.sum()
-            correct += int((ranks == 0).sum())
+            for k in report_topk:
+                topk_hits[k] += int((ranks < k).sum())
             total += len(batch.labels)
-        return {"top1_accuracy": correct / max(total, 1),
-                "average_rank": rank_sum / max(total, 1)}
+        out = {"average_rank": rank_sum / max(total, 1),
+               "top1_accuracy": topk_hits.get(1, 0) / max(total, 1)}
+        for k in report_topk:
+            out[f"top{k}_acc"] = topk_hits[k] / max(total, 1)
+        return out

@@ -16,4 +16,13 @@ python -m emdr2_tpu.tasks.run \
     --lr 2e-5 --lr-decay-style linear --warmup 0.01 \
     --weight-decay 0.1 --clip-grad 1.0 \
     --retriever-score-scaling \
+    --save "${CHECKPOINT_PATH:-checkpoints/dpr-nq}" \
+    --load "${CHECKPOINT_PATH:-checkpoints/dpr-nq}" \
+    --save-interval 500 \
+    --val-av-rank-other-neg 30 --val-av-rank-hard-neg 30 \
+    --report-topk-accuracies 1 5 20 100 \
+    --evidence-data-path "${EVIDENCE:-$DATA_DIR/wikipedia-evidence}" \
+    --embedding-path "${EMBEDDINGS_OUT:-$DATA_DIR/dpr-evidence-embeddings}" \
+    --qa-file-dev "${QA_FILE_DEV:-$DATA_DIR/nq-dev.csv}" \
+    --qa-file-test "${QA_FILE_TEST:-$DATA_DIR/nq-test.csv}" \
     --log-interval 20 "$@"

@@ -91,6 +91,9 @@ class TestCLIPipeline:
         assert latest_iteration(str(workdir / "run")) == 2  # 16/8 batches
 
     def test_05_retriever_task(self, workdir, capsys):
+        """Full RETRIEVER lifecycle: train -> interval/epoch checkpoint save
+        -> post-train index build + recall eval on the dev QA file
+        (train_dense_retriever.py:305-309, 371-391)."""
         # DPR json from the same toy facts
         colors = ["red", "blue"]
         rows = [{
@@ -103,15 +106,68 @@ class TestCLIPipeline:
         } for i in range(16)]
         (workdir / "dpr.json").write_text(json.dumps(rows))
         from emdr2_tpu.tasks.run import main
+        args = ["--task", "RETRIEVER",
+                "--vocab-file", str(workdir / "vocab.txt"),
+                "--train-data", str(workdir / "dpr.json"),
+                "--valid-data", str(workdir / "dpr.json"),
+                "--save", str(workdir / "dpr_run"),
+                "--load", str(workdir / "dpr_run"),
+                "--batch-size", "1", "--dp", "8", "--epochs", "1",
+                "--save-interval", "2", "--log-interval", "1",
+                "--topk-retrievals", "4",
+                "--val-av-rank-other-neg", "2", "--val-av-rank-hard-neg", "1",
+                "--report-topk-accuracies", "1", "4",
+                "--evidence-data-path", str(workdir / "wiki"),
+                "--embedding-path", str(workdir / "emb_dpr"),
+                "--qa-file-dev", str(workdir / "qa.csv")] + MODEL_ARGS
+        rc = main(args)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "top1" in out and "average_rank" in out
+        assert "DEV retrieval" in out and "recall@4" in out
+        from emdr2_tpu.training.checkpointing import latest_iteration
+        assert latest_iteration(str(workdir / "dpr_run")) == 2  # 16/8 batches
+        from emdr2_tpu.retrieval import EmbeddingStore
+        assert len(EmbeddingStore.load(str(workdir / "emb_dpr")).ids) == 16
+
+    def test_05b_retriever_resume_noop(self, workdir, capsys):
+        """Re-launching with --load at the final iteration runs 0 extra steps
+        but still executes the post-train evaluation."""
+        from emdr2_tpu.tasks.run import main
         rc = main(["--task", "RETRIEVER",
                    "--vocab-file", str(workdir / "vocab.txt"),
                    "--train-data", str(workdir / "dpr.json"),
-                   "--valid-data", str(workdir / "dpr.json"),
+                   "--load", str(workdir / "dpr_run"),
                    "--batch-size", "1", "--dp", "8", "--epochs", "1",
-                   "--log-interval", "1"] + MODEL_ARGS)
+                   "--topk-retrievals", "4",
+                   "--report-topk-accuracies", "1", "4",
+                   "--evidence-data-path", str(workdir / "wiki"),
+                   "--qa-file-dev", str(workdir / "qa.csv")] + MODEL_ARGS)
         assert rc == 0
         out = capsys.readouterr().out
-        assert "top1" in out
+        assert "resumed retriever" in out
+        assert "DEV retrieval" in out
+
+    def test_05c_openqa_init_from_dpr(self, workdir, capsys):
+        """The two-stage pipeline: a trained DPR checkpoint initializes the
+        EMDR2 retriever subtree at iteration 0 (--pretrained-dpr-load,
+        reference training.py:156-158)."""
+        from emdr2_tpu.tasks.run import main
+        rc = main(["--task", "OPENQA",
+                   "--vocab-file", str(workdir / "vocab.txt"),
+                   "--train-data", str(workdir / "qa.csv"),
+                   "--evidence-data-path", str(workdir / "wiki"),
+                   "--embedding-path", str(workdir / "emb_dpr"),
+                   "--pretrained-dpr-load", str(workdir / "dpr_run"),
+                   "--topk-retrievals", "2", "--batch-size", "1",
+                   "--dp", "8", "--train-iters", "1", "--epochs", "1",
+                   "--log-interval", "1",
+                   "--seq-length", "48", "--seq-length-dec", "8",
+                   "--save-interval", "100", "--eval-interval", "100",
+                   "--max-decode-len", "4"] + MODEL_ARGS)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "initialized retriever from" in out
 
     def test_06_checkpoint_surgery(self, workdir):
         from emdr2_tpu.tools.checkpoint_surgery import extract, strip_optim

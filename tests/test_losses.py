@@ -210,6 +210,49 @@ class TestDPRLoss:
         g = jax.grad(lambda q_: f(q_, ctx))(q)
         assert not np.allclose(np.asarray(g), 0)
 
+    def test_gradient_equivalent_to_reference_ddp_semantics(self):
+        """The reference multiplies its loss by world_size to undo DDP grad
+        averaging (train_dense_retriever.py:193); each rank computes the
+        GLOBAL-mean CE with gradients flowing only through its own slices
+        (:134-158). Emulating that exactly — per-rank stop-gradient on every
+        other slice, x world_size, then DDP-mean — must give the same
+        gradient as our single global-mean loss. This pins the claim that no
+        world_size factor is needed here (losses.py NOTE)."""
+        W, b, c, d = 4, 3, 6, 8
+        rng = np.random.RandomState(0)
+        Q = jnp.asarray(rng.randn(W * b, d).astype(np.float32))
+        C = jnp.asarray(rng.randn(W * c, d).astype(np.float32))
+        labels = jnp.asarray(
+            np.concatenate([i * c + np.arange(b) for i in range(W)]))
+
+        def global_mean_loss(Q_, C_):
+            loss, _ = dpr_in_batch_loss(Q_, C_, hidden_size=d,
+                                        score_scaling=True, labels=labels)
+            return loss
+
+        def reference_rank_loss(Q_, C_, r):
+            # stop-grad every slice except rank r's (the detach-and-replace
+            # trick), then the global-mean CE x world_size
+            keep_q = (jnp.arange(W * b) // b == r)[:, None]
+            keep_c = (jnp.arange(W * c) // c == r)[:, None]
+            Qr = jnp.where(keep_q, Q_, jax.lax.stop_gradient(Q_))
+            Cr = jnp.where(keep_c, C_, jax.lax.stop_gradient(C_))
+            loss, _ = dpr_in_batch_loss(Qr, Cr, hidden_size=d,
+                                        score_scaling=True, labels=labels)
+            return loss * W
+
+        g_ours = jax.grad(global_mean_loss, argnums=(0, 1))(Q, C)
+        # DDP averages gradients across ranks
+        g_ref = [jnp.zeros_like(Q), jnp.zeros_like(C)]
+        for r in range(W):
+            gr = jax.grad(lambda q_, c_: reference_rank_loss(q_, c_, r),
+                          argnums=(0, 1))(Q, C)
+            g_ref = [a + x / W for a, x in zip(g_ref, gr)]
+        np.testing.assert_allclose(np.asarray(g_ref[0]),
+                                   np.asarray(g_ours[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_ref[1]),
+                                   np.asarray(g_ours[1]), atol=1e-6)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -166,6 +166,63 @@ class TestDPR:
         assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
         assert after["top1_accuracy"] >= before["top1_accuracy"]
 
+    def test_eval_layout_30_30(self, tmp_path):
+        """evaluate=True builds the av-rank layout: 1 positive + other+hard
+        negatives per query, positives first (train_data_utils.py:177-182)."""
+        from emdr2_tpu.data.tokenizer import BertWordPieceTokenizer, toy_vocab
+        path = make_dpr_json(tmp_path)
+        tok = BertWordPieceTokenizer(toy_vocab())
+        ds = DPRDataset(path, tok, query_seq_len=16, ctx_seq_len=24,
+                        evaluate=True, val_av_rank_other_neg=2,
+                        val_av_rank_hard_neg=1)
+        b = ds.batch([0, 1])
+        # 2 positives + 2 queries x 3 negatives
+        assert b.ctx_ids.shape == (2 + 2 * 3, 24)
+        assert b.labels.tolist() == [0, 1]
+        # deterministic: same batch twice
+        b2 = ds.batch([0, 1])
+        np.testing.assert_array_equal(b.ctx_ids, b2.ctx_ids)
+        # the positive row equals the train-layout positive row
+        ds_tr = DPRDataset(path, tok, query_seq_len=16, ctx_seq_len=24)
+        np.testing.assert_array_equal(ds_tr.batch([0]).ctx_ids[0],
+                                      b.ctx_ids[0])
+
+    def test_state_checkpoint_roundtrip(self, world, tmp_path):
+        """DPR save -> load restores params/opt/step; the checkpoint nests
+        params under 'retriever' so the partial loader consumes it."""
+        cfg, tok, corpus, _, _ = world
+        from emdr2_tpu.config import OptimizerConfig
+        from emdr2_tpu.training import checkpointing as ck
+        path = make_dpr_json(tmp_path)
+        ds = DPRDataset(path, tok, query_seq_len=cfg.retriever.query_seq_len,
+                        ctx_seq_len=cfg.retriever.seq_len, hard_negs=1)
+        mesh = build_mesh()
+        opt = OptimizerConfig(lr=1e-3, warmup=0.0)
+        task = DPRTask(cfg.retriever, opt, mesh, total_train_iters=10)
+        task.init(jax.random.PRNGKey(0), ds.batch(list(range(8))))
+        task.train_step(ds.batch(list(range(8))), jax.random.PRNGKey(1))
+        root = str(tmp_path / "dpr_ck")
+        ck.save_checkpoint(root, task.get_state(), task.step)
+
+        task2 = DPRTask(cfg.retriever, opt, mesh, total_train_iters=10)
+        task2.init(jax.random.PRNGKey(7), ds.batch(list(range(8))))
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, task2.get_state())
+        state, it = ck.load_checkpoint(root, abstract)
+        task2.set_state(state)
+        assert it == 1 and task2.step == 1
+        for a, b in zip(jax.tree_util.tree_leaves(task.params),
+                        jax.tree_util.tree_leaves(task2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # partial loader sees the dual encoder under 'retriever'
+        sub = ck.load_retriever_params(
+            root, jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), task.params))
+        for a, b in zip(jax.tree_util.tree_leaves(sub),
+                        jax.tree_util.tree_leaves(task.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_read_dpr_json_drops_no_positive(self, tmp_path):
         p = tmp_path / "d.json"
         p.write_text(json.dumps([
