@@ -117,6 +117,9 @@ class IndexConfig:
     chunk_rows: int = 8192           # evidence rows per kernel tile
     group_size: int = 128            # candidate group-max reduction factor
     query_tile: int = 512
+    # candidates kept per group: 2 = near-exact (misses need a 3-way
+    # group collision, <1e-4 expected per query at k=51/N=1.3M); 1 = fastest
+    cands_per_group: int = 2
     exact: bool = False              # exact top-k (tests / CPU) vs fused candidate kernel
 
 

@@ -129,7 +129,9 @@ class ShardedEvidenceIndex:
             vals, idx = mips_topk(
                 q_all, shard_local, k, exact=cfg.exact,
                 chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
-                query_tile=cfg.query_tile, interpret=interpret)
+                query_tile=cfg.query_tile,
+                cands_per_group=getattr(cfg, "cands_per_group", 2),
+                interpret=interpret)
             idx = idx + rank * shard_rows
             # guard padded rows (zero vectors can outscore negatives):
             vals = jnp.where(idx < n_real, vals, -3.0e38)

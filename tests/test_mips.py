@@ -36,28 +36,55 @@ class TestExact:
 
 
 class TestFusedKernel:
+    @pytest.mark.parametrize("cands,floor", [(1, 0.95), (2, 0.995)])
     @pytest.mark.parametrize("n,d,k,chunk,group", [
         (4096, 64, 8, 512, 16),
         (5000, 96, 20, 1024, 8),    # non-multiple N, non-128 d
         (2048, 128, 4, 256, 8),
     ])
-    def test_high_recall_vs_exact(self, n, d, k, chunk, group):
+    def test_high_recall_vs_exact(self, n, d, k, chunk, group, cands, floor):
+        """Top-1 candidates lose a result when two true top-k rows share a
+        group (~k^2 G/2N); per-group top-2 (the default) needs a 3-way
+        collision and is near-exact."""
         rng = np.random.RandomState(1)
         q = rng.randn(24, d).astype(np.float32)
         e = rng.randn(n, d).astype(np.float32)
         vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), k,
                               chunk_rows=chunk, group_size=group,
-                              query_tile=8, interpret=True)
+                              query_tile=8, cands_per_group=cands,
+                              interpret=True)
         _, ni = np_topk(q, e, k)
         recall = np.mean([
             len(set(np.asarray(idx)[i]) & set(ni[i])) / k
             for i in range(q.shape[0])
         ])
-        assert recall >= 0.95, f"recall {recall}"
+        assert recall >= floor, f"recall {recall} (cands={cands})"
         # scores of returned rows must be the true inner products
         true_scores = np.take_along_axis(
             q.astype(np.float32) @ e.T, np.asarray(idx), axis=1)
         np.testing.assert_allclose(np.asarray(vals), true_scores, rtol=1e-4)
+
+    def test_top2_recovers_constructed_collisions(self):
+        """Adversarial case: the two best rows for every query sit in the
+        SAME group. Top-1 candidates must miss one; top-2 must find both."""
+        rng = np.random.RandomState(6)
+        d, k = 32, 2
+        e = rng.randn(1024, d).astype(np.float32) * 0.01
+        q = rng.randn(8, d).astype(np.float32)
+        for i in range(8):
+            base = 16 * (4 * i + 1)  # one group of 16 per query
+            e[base] = 10 * q[i] / np.linalg.norm(q[i])
+            e[base + 3] = 9 * q[i] / np.linalg.norm(q[i])
+        _, idx1 = mips_topk(jnp.asarray(q), jnp.asarray(e), k,
+                            chunk_rows=256, group_size=16, query_tile=8,
+                            cands_per_group=1, interpret=True)
+        _, idx2 = mips_topk(jnp.asarray(q), jnp.asarray(e), k,
+                            chunk_rows=256, group_size=16, query_tile=8,
+                            cands_per_group=2, interpret=True)
+        _, ni = np_topk(q, e, k)
+        for i in range(8):
+            assert len(set(np.asarray(idx1)[i]) & set(ni[i])) == 1
+            assert set(np.asarray(idx2)[i].tolist()) == set(ni[i].tolist())
 
     def test_group_size_one_is_exact(self):
         """group_size=1 keeps every row as its own candidate -> exact."""
