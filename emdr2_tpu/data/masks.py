@@ -47,6 +47,21 @@ def self_attention_mask(ids: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
     return mask
 
 
+def padding_bias(ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, L] token ids -> [B, L] additive bias masking pad *keys*.
+
+    For padding-only (non-causal) self-attention the full [B, 1, L, L] bias of
+    ``mask_to_bias(self_attention_mask(ids))`` is redundant: the mask is the
+    outer product pad[i] & pad[j], and query-side pad rows are never consumed
+    downstream (CLS readout, key-masked cross-attention, loss masks). Keeping
+    only the key side is identical at every consumed position, shrinks the
+    bias from O(B*L^2) to O(B*L) — at the flagship FiD shape (B*K=400, L=512)
+    a 400 MB fp32 buffer that never gets built — and is the exact input the
+    flash attention kernel consumes (``ops/fid_attention.py``).
+    """
+    return mask_to_bias(padding_mask(ids), dtype)
+
+
 def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Bool allowed-mask -> additive attention bias (0 or large negative).
 

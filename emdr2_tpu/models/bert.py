@@ -29,9 +29,11 @@ class BertEncoder(nn.Module):
         x = Embeddings(cfg, name="embeddings")(
             ids, tokentype_ids=tokentype_ids, deterministic=deterministic)
         x = sharding_constraint(x, ("batch", "length", "embed"))
-        bias = masks.mask_to_bias(masks.self_attention_mask(ids))[:, None, :, :]
+        # key-side-only pad bias: [B,L] instead of [B,1,L,L] (see
+        # masks.padding_bias — identical at every consumed position); routes
+        # through the flash self-attention kernel when configured
         x = TransformerStack(cfg, name="encoder")(
-            x, self_bias=bias, deterministic=deterministic)
+            x, kv_bias=masks.padding_bias(ids), deterministic=deterministic)
         return x
 
     def embed(self, ids, tokentype_ids=None, deterministic: bool = True):

@@ -162,9 +162,11 @@ class Attention(nn.Module):
         ``decoding.DecoderSession``) — the reference instead re-runs the
         whole prefix every step with no caching (search_strategy.py:200-227).
 
-        ``kv_bias`` [B, Lk]: key-side-only additive bias; when provided on
-        the non-decode cross-attention path with ``cfg.fid_flash_attention``,
-        the flash FiD kernel runs instead of materialized-score attention.
+        ``kv_bias`` [B, Lk]: key-side-only additive bias; when provided on a
+        non-decode path (cross-attention OR padding-only self-attention) with
+        ``cfg.fid_flash_attention``, the flash kernel runs instead of
+        materialized-score attention — attention dropout then runs inside the
+        kernel from a seed drawn off the "dropout" rng.
         """
         cfg = self.config
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
@@ -189,8 +191,8 @@ class Attention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
 
-        use_flash = (self.cross_attention and not decode
-                     and kv_bias is not None and cfg.fid_flash_attention)
+        use_flash = (not decode and kv_bias is not None and bias is None
+                     and cfg.fid_flash_attention)
         if use_flash:
             key_chunk = min(cfg.flash_key_chunk, k.shape[-3])
             rem = k.shape[-3] % key_chunk
@@ -209,10 +211,17 @@ class Attention(nn.Module):
             kb = kv_bias.astype(jnp.float32)[:, None, None, :]
             bias = kb if bias is None else bias + kb
         if use_flash:
-            # flash FiD cross-attention: no [Lq, Lk] score materialization
+            # flash attention (FiD cross-attn or padding-masked self-attn):
+            # no [Lq, Lk] score materialization; attention dropout happens
+            # inside the kernel (identical mask in fwd and bwd)
             from emdr2_tpu.ops.fid_attention import fid_cross_attention
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), (),
+                                       jnp.uint32)
             out = fid_cross_attention(q, k, v, kv_bias.astype(jnp.float32),
-                                      key_chunk)
+                                      seed, key_chunk, None, rate)
             out = out.astype(cfg.dtype).reshape(out.shape[:-2] + (h,))
             return Dense(h, ("heads", "embed"), dtype=cfg.dtype,
                          kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
@@ -293,8 +302,11 @@ class TransformerLayer(nn.Module):
             return r + y
 
         h = LayerNorm(cfg.layernorm_epsilon, cfg.dtype, name="ln_self")(x)
+        # encoder-only stacks: the key-side pad bias feeds self-attention
+        # (flash path); decoder stacks route kv_bias to cross-attention
         h = Attention(cfg, name="self_attention")(
-            h, bias=self_bias, deterministic=deterministic, decode=decode)
+            h, bias=self_bias, deterministic=deterministic, decode=decode,
+            kv_bias=None if self.has_cross_attention else kv_bias)
         x = resid(h, x)
 
         if self.has_cross_attention:

@@ -46,8 +46,11 @@ class T5Model(nn.Module):
         cfg = self.config
         x = self.shared_embeddings(enc_ids, deterministic=deterministic)
         x = sharding_constraint(x, ("batch", "length", "embed"))
-        bias = masks.mask_to_bias(masks.self_attention_mask(enc_ids))[:, None, :, :]
-        return self.encoder(x, self_bias=bias, deterministic=deterministic)
+        # key-side-only pad bias: [B,L] instead of [B,1,L,L] (see
+        # masks.padding_bias — identical at every consumed position); routes
+        # through the flash self-attention kernel when configured
+        return self.encoder(x, kv_bias=masks.padding_bias(enc_ids),
+                            deterministic=deterministic)
 
     def decode(self, dec_ids, enc_hidden, enc_dec_mask,
                deterministic: bool = True, decode_step: bool = False,

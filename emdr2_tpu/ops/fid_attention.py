@@ -1,21 +1,31 @@
-"""Flash-style Fusion-in-Decoder cross-attention (Pallas, custom VJP).
+"""Flash-style attention for the EMDR2 reader/retriever (Pallas, custom VJP).
 
-The EMDR2 decoder cross-attends 32 query positions over K*512 (up to 25,600)
-encoder positions (``/root/reference/megatron/model/emdr2_model.py:148-183``).
-A naive implementation materializes [B, heads, 32, 25600] fp32 scores per
-layer (~314 MB at B=8) in both forward and backward — the dominant HBM
-traffic of the reader step. The reference paid this cost and managed memory
-with activation checkpointing (SURVEY.md §5.7); this kernel removes it with
-an online-softmax sweep over key chunks (the same segmented-softmax math as
-ring attention, run locally).
+Two call sites share this kernel (``/root/reference/megatron/model/
+emdr2_model.py:148-183`` and ``model/transformer.py:111-408``):
 
-Shape contract (specialized, not a general attention kernel):
-- q   [B, Lq, nh, hd]   Lq small (decoder length), hd the lane dim
+1. **FiD decoder cross-attention** — 32 query positions over K*512 (up to
+   25,600) encoder positions. A naive implementation materializes
+   [B, heads, 32, 25600] fp32 scores per layer (~314 MB at B=8) in both
+   forward and backward; the reference paid this cost and managed memory with
+   activation checkpointing (SURVEY.md §5.7).
+2. **Encoder self-attention** (T5 encoder over B*K sequences, both BERT
+   towers) — padding masks are *key-side only*, so the same kernel applies
+   with q == k == v source. This removes the [B*K, heads, 512, 512] score
+   materialization that otherwise dominates HBM traffic and the remat
+   working set of the train step.
+
+Shape contract:
+- q   [B, Lq, nh, hd]   hd is the lane dim
 - k,v [B, Lk, nh, hd]   Lk a multiple of the key chunk
 - kv_bias [B, Lk] fp32  additive key-side bias (0 or -1e9 for padding).
-  Query-side masking is intentionally absent: padded decoder positions
-  produce outputs that downstream loss masks ignore (parity holds at every
-  real position).
+  Query-side masking is intentionally absent: padded query positions produce
+  outputs that downstream consumers ignore (CLS readout, key-masked
+  cross-attention, loss masks) — parity holds at every consumed position.
+
+Attention dropout (``--attention-dropout``, reference transformer.py:283-332)
+runs *inside* the kernel: the keep mask is a counter-based hash of
+(seed, program ids, row, col), so forward and backward regenerate the exact
+same mask with no [Lq, Lk] materialization and no host RNG state.
 
 Forward saves (out, lse); backward recomputes scores chunk-wise
 (flash-attention backward) — no [Lq, Lk] materialization anywhere.
@@ -32,8 +42,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale: float):
+def _keep_mask(seed_ref, rate: float, lq: int, c: int):
+    """[lq, c] bool keep mask from a murmur3-style integer hash of
+    (seed, grid position, row, col). Pure function of its coordinates, so the
+    backward kernel regenerates the identical mask."""
+    bh = pl.program_id(0).astype(jnp.uint32)
+    j = pl.program_id(1).astype(jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 1)
+    x = (r * jnp.uint32(0x9E3779B1)) ^ (col * jnp.uint32(0x85EBCA77))
+    x = x ^ (seed_ref[0].astype(jnp.uint32)
+             + bh * jnp.uint32(0x27D4EB2F) + j * jnp.uint32(0x165667B1))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float, rate: float):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -54,22 +83,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp(s - m_new)                           # [Lq, C]
     corr = jnp.exp(m_prev - m_new)                   # [Lq, 1]
+    # normalizer l uses the UNdropped probs; dropout zeroes only the
+    # value-accumulation term (softmax -> dropout -> @v ordering parity)
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    pd = jnp.where(_keep_mask(seed_ref, rate, *p.shape), p, 0.0) if rate else p
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[:] = m_new
 
     @pl.when(j == n_chunks - 1)
     def _():
-        l = l_ref[:]
+        l = l_ref[:] * (1.0 - rate) if rate else l_ref[:]
         safe_l = jnp.where(l > 0, l, 1.0)            # fully-masked rows -> 0
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log(safe_l)
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.where(
+            l_ref[:] > 0, l_ref[:], 1.0))
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
-                dq_ref, dk_ref, dv_ref, dq_acc, *, scale: float):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                delta_ref, dq_ref, dk_ref, dv_ref, dq_acc,
+                *, scale: float, rate: float):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -87,20 +121,30 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * scale + bias_ref[0]
-    p = jnp.exp(s - lse)                             # [Lq, C]
+    p = jnp.exp(s - lse)                             # [Lq, C] normalized probs
+
+    if rate:
+        keep = _keep_mask(seed_ref, rate, *p.shape)
+        inv_keep = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p, 0.0) * inv_keep      # dropped probs P_d
+    else:
+        pd = p
 
     # Key-side gradients are produced TRANSPOSED ([hd, C], keys in lanes):
     # contracting over the tiny Lq dim with Lk-major outputs is a
     # pathological layout on the MXU — measured ~100x slower both here and
     # in plain XLA. The caller transposes the [BH, hd, Lk] result once.
-    # dv^T_c = do^T @ p
+    # dv^T_c = do^T @ P_d
     dv_ref[0] = jax.lax.dot_general(
-        do, p, (((0,), (0,)), ((), ())),
+        do, pd, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp = do @ v^T ; ds = p * (dp - delta)
+    # dP_d = do @ v^T ; dP = keep * dP_d / (1-rate) ; ds = P * (dP - delta)
+    # (delta = rowsum(do * out) = rowsum(P_d * dP_d), valid with dropout)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rate:
+        dp = jnp.where(keep, dp, 0.0) * inv_keep
     ds = p * (dp - delta)                            # [Lq, C]
     # dk^T_c = q^T @ ds * scale
     dk_ref[0] = (jax.lax.dot_general(
@@ -129,15 +173,27 @@ def _prep(q, k, v, kv_bias, key_chunk):
     return qt, kt, vt, B, Lq, Lk, nh, hd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fid_cross_attention(q, k, v, kv_bias, key_chunk: int = 512,
-                        interpret: Optional[bool] = None):
-    """Returns [B, Lq, nh, hd]; differentiable w.r.t. q, k, v."""
-    out, _ = _fid_fwd(q, k, v, kv_bias, key_chunk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fid_cross_attention(q, k, v, kv_bias, seed=None, key_chunk: int = 512,
+                        interpret: Optional[bool] = None,
+                        dropout_rate: float = 0.0):
+    """Returns [B, Lq, nh, hd]; differentiable w.r.t. q, k, v.
+
+    ``seed``: uint32 scalar array feeding the in-kernel dropout mask; ignored
+    (may be None) when ``dropout_rate`` == 0.
+    """
+    out, _ = _fid_fwd(q, k, v, kv_bias, seed, key_chunk, interpret,
+                      dropout_rate)
     return out
 
 
-def _fid_forward(q, k, v, kv_bias, key_chunk, interpret):
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.uint32)
+    return jnp.asarray(seed, jnp.uint32).reshape((1,))
+
+
+def _fid_forward(q, k, v, kv_bias, seed, key_chunk, interpret, rate):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     qt, kt, vt, B, Lq, Lk, nh, hd = _prep(q, k, v, kv_bias, key_chunk)
@@ -146,9 +202,10 @@ def _fid_forward(q, k, v, kv_bias, key_chunk, interpret):
     grid = (B * nh, n_chunks)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
             pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
             pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
@@ -170,19 +227,20 @@ def _fid_forward(q, k, v, kv_bias, key_chunk, interpret):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qt, kt, vt, kv_bias[:, None, :])
+    )(_seed_arr(seed), qt, kt, vt, kv_bias[:, None, :])
     return out, lse
 
 
-def _fid_fwd(q, k, v, kv_bias, key_chunk, interpret):
-    out, lse = _fid_forward(q, k, v, kv_bias, key_chunk, interpret)
+def _fid_fwd(q, k, v, kv_bias, seed, key_chunk, interpret, rate):
+    out, lse = _fid_forward(q, k, v, kv_bias, seed, key_chunk, interpret,
+                            rate)
     B, Lq, nh, hd = q.shape
     out_b = out.reshape(B, nh, Lq, hd).transpose(0, 2, 1, 3)
-    return out_b, (q, k, v, kv_bias, out_b, lse)
+    return out_b, (q, k, v, kv_bias, seed, out_b, lse)
 
 
-def _fid_bwd(key_chunk, interpret, res, g):
-    q, k, v, kv_bias, out, lse = res
+def _fid_bwd(key_chunk, interpret, rate, res, g):
+    q, k, v, kv_bias, seed, out, lse = res
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     qt, kt, vt, B, Lq, Lk, nh, hd = _prep(q, k, v, kv_bias, key_chunk)
@@ -195,9 +253,10 @@ def _fid_bwd(key_chunk, interpret, res, g):
     grid = (B * nh, n_chunks)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
             pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
             pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
@@ -220,13 +279,13 @@ def _fid_bwd(key_chunk, interpret, res, g):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qt, kt, vt, kv_bias[:, None, :], lse, gt, delta)
+    )(_seed_arr(seed), qt, kt, vt, kv_bias[:, None, :], lse, gt, delta)
 
     dq = dq.reshape(B, nh, Lq, hd).transpose(0, 2, 1, 3)
     # dk/dv arrive as [BH, hd, Lk]; one XLA transpose back to [B, Lk, nh, hd]
     dk = dk.reshape(B, nh, hd, Lk).transpose(0, 3, 1, 2)
     dv = dv.reshape(B, nh, hd, Lk).transpose(0, 3, 1, 2)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 fid_cross_attention.defvjp(_fid_fwd, _fid_bwd)

@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="activation checkpointing in the transformer stacks")
     g.add_argument("--fid-flash-attention", action="store_true",
                    help="Pallas flash kernel for FiD decoder cross-attention "
+                        "AND all padding-masked encoder self-attention "
                         "over K*512 keys (no [Lq, Lk] score materialization; "
                         "replaces the reference's activation-checkpointing "
                         "survival strategy, transformer.py:621-646)")

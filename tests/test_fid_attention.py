@@ -1,6 +1,5 @@
-"""FiD flash cross-attention: forward/backward parity with the XLA reference."""
-
-import functools
+"""Flash attention kernel: forward/backward parity with the XLA reference,
+self-attention usage, and in-kernel attention dropout."""
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +10,10 @@ from emdr2_tpu.ops.fid_attention import (
     fid_cross_attention,
     fid_cross_attention_reference,
 )
+
+
+def flash(q, k, v, bias, chunk, seed=None, rate=0.0):
+    return fid_cross_attention(q, k, v, bias, seed, chunk, True, rate)
 
 
 def make_inputs(B=2, Lq=8, Lk=256, nh=2, hd=32, seed=0, n_masked=40):
@@ -28,14 +31,14 @@ class TestForward:
     @pytest.mark.parametrize("chunk", [64, 128, 256])
     def test_matches_reference(self, chunk):
         q, k, v, bias = make_inputs()
-        got = fid_cross_attention(q, k, v, bias, chunk, True)
+        got = flash(q, k, v, bias, chunk)
         want = fid_cross_attention_reference(q, k, v, bias)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
     def test_no_mask(self):
         q, k, v, bias = make_inputs(n_masked=0)
-        got = fid_cross_attention(q, k, v, bias, 64, True)
+        got = flash(q, k, v, bias, 64)
         want = fid_cross_attention_reference(q, k, v, bias)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
@@ -44,8 +47,24 @@ class TestForward:
         """All keys masked -> output must be finite (zeros), not NaN."""
         q, k, v, bias = make_inputs()
         bias = jnp.full_like(bias, -1e9)
-        got = fid_cross_attention(q, k, v, bias, 64, True)
+        got = flash(q, k, v, bias, 64)
         assert np.isfinite(np.asarray(got)).all()
+
+    def test_self_attention_shape(self):
+        """Same kernel serves padding-masked self-attention (q = k = v
+        source, Lq == Lk): parity with the materialized reference."""
+        rng = np.random.RandomState(3)
+        B, L, nh, hd = 2, 64, 2, 16
+        x = jnp.asarray(rng.randn(B, L, nh, hd), jnp.float32)
+        bias = np.zeros((B, L), np.float32)
+        bias[:, -9:] = -1e9
+        bias = jnp.asarray(bias)
+        got = flash(x, x, x, bias, 32)
+        want = fid_cross_attention_reference(x, x, x, bias)
+        # real (unmasked-query) rows must match exactly; pad rows are
+        # unconstrained by design (key-side-only masking)
+        np.testing.assert_allclose(np.asarray(got)[:, :-9],
+                                   np.asarray(want)[:, :-9], atol=2e-5)
 
 
 class TestBackward:
@@ -56,7 +75,7 @@ class TestBackward:
             np.random.RandomState(7).randn(*q.shape), jnp.float32)
 
         def loss_flash(q, k, v):
-            out = fid_cross_attention(q, k, v, bias, 64, True)
+            out = flash(q, k, v, bias, 64)
             return jnp.sum(out * g_target)
 
         def loss_ref(q, k, v):
@@ -73,11 +92,83 @@ class TestBackward:
         q, k, v, bias = make_inputs(Lk=128, n_masked=32)
 
         def loss(k, v):
-            return jnp.sum(fid_cross_attention(q, k, v, bias, 64, True))
+            return jnp.sum(flash(q, k, v, bias, 64))
 
         dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
         np.testing.assert_allclose(np.asarray(dk[:, -32:]), 0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(dv[:, -32:]), 0, atol=1e-6)
+
+
+class TestDropout:
+    """In-kernel attention dropout: the keep mask is a pure hash of
+    (seed, grid position, row, col), so fwd and bwd see the same mask."""
+
+    def test_rate_zero_is_identity(self):
+        q, k, v, bias = make_inputs(Lk=128, n_masked=16)
+        a = flash(q, k, v, bias, 64)
+        b = flash(q, k, v, bias, 64, seed=jnp.uint32(123), rate=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_same_seed_deterministic_distinct_seeds_differ(self):
+        q, k, v, bias = make_inputs(Lk=128, n_masked=0)
+        a = flash(q, k, v, bias, 64, seed=jnp.uint32(5), rate=0.5)
+        b = flash(q, k, v, bias, 64, seed=jnp.uint32(5), rate=0.5)
+        c = flash(q, k, v, bias, 64, seed=jnp.uint32(6), rate=0.5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+    def test_unbiased_in_expectation(self):
+        """Averaged over many seeds, dropped attention converges to the
+        undropped output (dropout is inverse-keep-prob scaled)."""
+        q, k, v, bias = make_inputs(B=1, Lq=4, Lk=64, nh=1, hd=16,
+                                    n_masked=8)
+        want = np.asarray(fid_cross_attention_reference(q, k, v, bias))
+        acc = np.zeros_like(want)
+        n = 200
+        for s in range(n):
+            acc += np.asarray(
+                flash(q, k, v, bias, 64, seed=jnp.uint32(s), rate=0.3))
+        np.testing.assert_allclose(acc / n, want, atol=0.12)
+
+    def test_keep_fraction(self):
+        """With uniform values the fraction of zeroed contributions tracks
+        the rate: count exact zero rows in dv (a key kept nowhere gets no
+        gradient only if dropped in every query row — instead measure the
+        elementwise effect through dv of a rank-1 probe)."""
+        q, k, v, bias = make_inputs(B=1, Lq=32, Lk=128, nh=1, hd=16,
+                                    n_masked=0)
+
+        def out_sum(v_, seed):
+            return jnp.sum(flash(q, k, v_, bias, 128, seed=seed, rate=0.5))
+
+        dv = np.asarray(jax.grad(out_sum)(v, jnp.uint32(11)))
+        dv0 = np.asarray(jax.grad(lambda v_: jnp.sum(
+            flash(q, k, v_, bias, 128)))(v))
+        # with rate 0.5 roughly half of the (query, key) attention terms are
+        # zeroed; dv sums over queries so it shifts but stays same order
+        assert 0.2 < (np.abs(dv).sum() / np.abs(dv0).sum()) < 5.0
+
+    def test_grad_consistent_with_fwd(self):
+        """Finite-difference check THROUGH the dropout mask: fwd and bwd
+        must use the identical mask or this fails wildly."""
+        q, k, v, bias = make_inputs(B=1, Lq=4, Lk=64, nh=1, hd=8, n_masked=4)
+        seed = jnp.uint32(42)
+        g = jnp.asarray(np.random.RandomState(1).randn(1, 4, 1, 8),
+                        jnp.float32)
+
+        def f(qv):
+            return jnp.sum(g * flash(qv, k, v, bias, 32, seed=seed, rate=0.4))
+
+        dq = np.asarray(jax.grad(f)(q))
+        eps = 1e-3
+        rng = np.random.RandomState(2)
+        for _ in range(4):
+            i = tuple(rng.randint(0, s) for s in q.shape)
+            qp = np.asarray(q).copy(); qp[i] += eps
+            qm = np.asarray(q).copy(); qm[i] -= eps
+            fd = (float(f(jnp.asarray(qp))) - float(f(jnp.asarray(qm)))) / (
+                2 * eps)
+            np.testing.assert_allclose(dq[i], fd, rtol=0.05, atol=1e-3)
 
 
 if __name__ == "__main__":

@@ -13,11 +13,18 @@ from tests.test_models import make_batch
 
 
 def flash_cfg(cfg, key_chunk=64):
-    enc = cfg.retriever.encoder
+    """Enable the flash kernel everywhere it applies: FiD decoder
+    cross-attention AND padding-masked self-attention in the T5 encoder and
+    both BERT towers (the flagship configuration)."""
+    enc = dataclasses.replace(cfg.retriever.encoder,
+                              fid_flash_attention=True,
+                              flash_key_chunk=key_chunk)
     t5c = dataclasses.replace(cfg.reader.transformer,
                               fid_flash_attention=True,
                               flash_key_chunk=key_chunk)
-    return cfg.replace(reader=dataclasses.replace(cfg.reader, transformer=t5c))
+    return cfg.replace(
+        retriever=dataclasses.replace(cfg.retriever, encoder=enc),
+        reader=dataclasses.replace(cfg.reader, transformer=t5c))
 
 
 class TestFlashIntegration:
@@ -76,6 +83,33 @@ class TestFlashIntegration:
         out_fb = EMDR2Model(cfgf).apply(params, batch)
         np.testing.assert_allclose(np.asarray(out_fb.lm_logits),
                                    np.asarray(out_std.lm_logits), atol=2e-4)
+
+    def test_training_mode_with_attention_dropout(self):
+        """Flash path in training mode: attention dropout runs inside the
+        kernel, seeded off the flax 'dropout' rng — same rng key must give
+        identical outputs, different keys different outputs."""
+        cfg = tiny_config()
+        enc = dataclasses.replace(cfg.retriever.encoder,
+                                  attention_dropout=0.3, hidden_dropout=0.0)
+        t5c = dataclasses.replace(cfg.reader.transformer,
+                                  attention_dropout=0.3, hidden_dropout=0.0)
+        cfgf = flash_cfg(cfg.replace(
+            retriever=dataclasses.replace(cfg.retriever, encoder=enc),
+            reader=dataclasses.replace(cfg.reader, transformer=t5c)))
+        batch = make_batch(cfg)
+        model = EMDR2Model(cfgf)
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch)
+
+        def run(seed):
+            return model.apply(params, batch, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(seed)})
+
+        a, b, c = run(1), run(1), run(2)
+        assert np.isfinite(np.asarray(a.lm_logits)).all()
+        np.testing.assert_array_equal(np.asarray(a.lm_logits),
+                                      np.asarray(b.lm_logits))
+        assert np.abs(np.asarray(a.lm_logits) -
+                      np.asarray(c.lm_logits)).max() > 1e-6
 
 
 if __name__ == "__main__":
