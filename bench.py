@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: top-20 MIPS queries/sec/chip over the EMDR2 evidence
-corpus scale (21M passages sharded over 16 chips -> 1.31M x 768 bf16 per chip).
+corpus scale (21M passages sharded over 16 chips -> 1.31M x 768 bf16 per
+chip), plus the flagship train-step measurement (B=4/K=50/seq 512, flash
+attention + remat) as supplementary keys.
 
-Baseline target (BASELINE.md): >= 10,000 queries/sec/chip. The reference has
-no published throughput numbers; 10k/s is the driver-provided north star.
+Baseline target (BASELINE.md): >= 10,000 MIPS queries/sec/chip. The reference
+has no published throughput numbers; 10k/s is the driver-provided north star.
+The reference's hot path is the full train step (VERDICT r1, missing #6) —
+``train_step`` reports ms/step, examples/s/chip, and hardware FLOPs
+utilization (HLO flops incl. remat recompute / peak bf16 flops) for it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "train_step": {...}}.
 """
 
+import dataclasses
 import functools
 import json
 import sys
@@ -16,6 +23,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# amortize the ~10 min flagship-step XLA compile across bench runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,9 +36,11 @@ from emdr2_tpu.config import IndexConfig
 from emdr2_tpu.ops import mips_topk
 
 BASELINE_QPS = 10_000.0
+# TPU v5e (the bench chip): 197 TFLOP/s peak bf16
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 
-def main():
+def bench_mips(on_cpu: bool):
     from emdr2_tpu.ops.mips import row_alignment
 
     cfg = IndexConfig()
@@ -35,7 +50,6 @@ def main():
     align = row_alignment(cfg.chunk_rows, cfg.group_size)
     n = ((21_015_324 // 16) // align) * align
 
-    on_cpu = jax.default_backend() == "cpu"
     if on_cpu:  # smoke-scale fallback so the bench still runs anywhere
         n, nq = 8192, 64
 
@@ -58,13 +72,109 @@ def main():
         out = f(q, e)
     np.asarray(out[0])  # drain the queue
     dt = (time.time() - t0) / iters
+    return nq / dt
 
-    qps = nq / dt
+
+def flagship_step_config(B: int = 4, K: int = 50):
+    """The flagship NQ recipe exactly as examples/openqa/emdr2_nq.sh runs it:
+    BERT-base retriever + T5-base FiD reader, seq 512/256/32, flash attention
+    everywhere + per-layer remat, bf16 compute / fp32 params+adam."""
+    from emdr2_tpu.config import EMDR2Config
+
+    cfg = EMDR2Config()
+    return cfg.replace(
+        retriever=dataclasses.replace(
+            cfg.retriever,
+            encoder=dataclasses.replace(cfg.retriever.encoder, remat=True,
+                                        fid_flash_attention=True)),
+        reader=dataclasses.replace(
+            cfg.reader,
+            transformer=dataclasses.replace(
+                cfg.reader.transformer, remat=True,
+                fid_flash_attention=True)),
+        index=dataclasses.replace(cfg.index, topk=K),
+    )
+
+
+def make_flagship_step(B: int = 4, K: int = 50):
+    """(compiled_step, state, batch) for the flagship shape — shared by
+    bench.py and warmup so the persistent compile cache always hits."""
+    from emdr2_tpu.models import EMDR2Batch, EMDR2Model
+    from emdr2_tpu.training import step as step_lib
+
+    cfg = flagship_step_config(B, K)
+    rng = np.random.RandomState(0)
+
+    def ids(*shape):
+        return jnp.asarray(rng.randint(2, 30000, size=shape), jnp.int32)
+
+    Ld = cfg.reader.decoder_seq_len
+    batch = EMDR2Batch(
+        query_bert_ids=ids(B, cfg.retriever.query_seq_len),
+        context_bert_ids=ids(B, K, cfg.retriever.seq_len),
+        context_bert_types=jnp.zeros((B, K, cfg.retriever.seq_len), jnp.int32),
+        reader_ids=ids(B, K, cfg.reader.seq_len),
+        reader_one_ctx_ids=ids(B, K, cfg.reader.seq_len),
+        dec_ids=ids(B, Ld),
+        labels=ids(B, Ld),
+        loss_mask=jnp.ones((B, Ld), jnp.float32),
+    )
+    model = EMDR2Model(cfg)
+    tx = step_lib.make_optimizer(cfg.train.optimizer, 10000)
+    state = jax.jit(functools.partial(
+        step_lib.create_train_state, model, batch, tx))(jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    step_fn = jax.jit(step_lib.make_train_step(model, tx, cfg, eos_id=102),
+                      donate_argnums=(0,))
+    compiled = step_fn.lower(state, batch).compile()
+    return compiled, state, batch
+
+
+def bench_train_step(B: int = 4, K: int = 50):
+    compiled, state, batch = make_flagship_step(B, K)
+    ca = compiled.cost_analysis()
+    if not isinstance(ca, dict):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+
+    state, m = compiled(state, batch)  # warmup
+    jax.block_until_ready(m)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = compiled(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.time() - t0) / iters
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    peak = PEAK_FLOPS.get(kind, 197e12)
+    return {
+        "config": f"B={B} K={K} seq512 flash+remat bf16 (emdr2_nq.sh recipe)",
+        "ms_per_step": round(dt * 1000, 1),
+        "examples_per_sec_per_chip": round(B / dt, 2),
+        "hw_flops_util": round(flops / dt / peak, 3),
+        "hlo_tflops_per_step": round(flops / 1e12, 1),
+        "device": kind,
+    }
+
+
+def main():
+    on_cpu = jax.default_backend() == "cpu"
+    qps = bench_mips(on_cpu)
+
+    train = {"skipped": "cpu backend"}
+    if not on_cpu:
+        try:
+            train = bench_train_step()
+        except Exception as e:  # never lose the headline number
+            train = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": "mips_top20_queries_per_sec_per_chip_21M",
         "value": round(qps, 1),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "train_step": train,
     }))
 
 
