@@ -111,12 +111,12 @@ class IndexConfig:
     dtype: jnp.dtype = jnp.bfloat16
     topk: int = 50                   # --topk-retrievals (emdr2_nq.sh:96)
     allow_trivial_doc: bool = True   # else fetch K+1 and drop the source doc (emdr2_model.py:389-391)
-    # Pallas kernel tuning (swept on v5e: 54k q/s/chip at 1.3M-row shard,
-    # 5.4x the >=10k/s baseline target). One query tile up to 512 streams the
-    # whole shard through VMEM exactly once.
+    # Pallas kernel tuning (swept on v5e at the 1.3M-row shard scale with
+    # cands_per_group=2: 50.7k q/s/chip, 5x the >=10k/s baseline target;
+    # qt=512 was optimal for the top-1-candidate variant, qt=256 for top-2).
     chunk_rows: int = 8192           # evidence rows per kernel tile
     group_size: int = 128            # candidate group-max reduction factor
-    query_tile: int = 512
+    query_tile: int = 256
     # candidates kept per group: 2 = near-exact (misses need a 3-way
     # group collision, <1e-4 expected per query at k=51/N=1.3M); 1 = fastest
     cands_per_group: int = 2
