@@ -42,17 +42,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _keep_mask(seed_ref, rate: float, lq: int, c: int):
+def _keep_mask(seed_ref, bh, rate: float, lq: int, c: int):
     """[lq, c] bool keep mask from a murmur3-style integer hash of
-    (seed, grid position, row, col). Pure function of its coordinates, so the
-    backward kernel regenerates the identical mask."""
-    bh = pl.program_id(0).astype(jnp.uint32)
+    (seed, batch*head index, chunk, row, col). Pure function of its
+    coordinates, so the backward kernel regenerates the identical mask."""
     j = pl.program_id(1).astype(jnp.uint32)
     r = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 1)
     x = (r * jnp.uint32(0x9E3779B1)) ^ (col * jnp.uint32(0x85EBCA77))
     x = x ^ (seed_ref[0].astype(jnp.uint32)
-             + bh * jnp.uint32(0x27D4EB2F) + j * jnp.uint32(0x165667B1))
+             + bh.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+             + j * jnp.uint32(0x165667B1))
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -62,7 +62,13 @@ def _keep_mask(seed_ref, rate: float, lq: int, c: int):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale: float, rate: float):
+                acc_ref, m_ref, l_ref, *, scale: float, rate: float,
+                block_bh: int):
+    """One grid cell: ``block_bh`` (batch*head) slices x one key chunk.
+
+    Batching heads into one program amortizes grid-step overhead — the
+    per-(b,h) variant ran 4800 programs of <1 us compute each at the FiD
+    encoder shape and was grid-bound at ~22 TF/s."""
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -72,38 +78,44 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, -1e30)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]                                     # [Lq, hd]
-    k = k_ref[0]                                     # [C, hd]
-    v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[0]                      # [Lq, C] + [1, C]
+    for g in range(block_bh):
+        q = q_ref[g]                                 # [Lq, hd]
+        k = k_ref[g]                                 # [C, hd]
+        v = v_ref[g]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[0]                  # [Lq, C] + [1, C]
 
-    m_prev = m_ref[:]                                # [Lq, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)                           # [Lq, C]
-    corr = jnp.exp(m_prev - m_new)                   # [Lq, 1]
-    # normalizer l uses the UNdropped probs; dropout zeroes only the
-    # value-accumulation term (softmax -> dropout -> @v ordering parity)
-    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-    pd = jnp.where(_keep_mask(seed_ref, rate, *p.shape), p, 0.0) if rate else p
-    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        m_prev = m_ref[g]                            # [Lq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                       # [Lq, C]
+        corr = jnp.exp(m_prev - m_new)               # [Lq, 1]
+        # normalizer l uses the UNdropped probs; dropout zeroes only the
+        # value-accumulation term (softmax -> dropout -> @v ordering parity)
+        l_ref[g] = l_ref[g] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if rate:
+            bh = pl.program_id(0) * block_bh + g
+            p_acc = jnp.where(_keep_mask(seed_ref, bh, rate, *p.shape), p, 0.0)
+        else:
+            p_acc = p
+        acc_ref[g] = acc_ref[g] * corr + jax.lax.dot_general(
+            p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[g] = m_new
 
     @pl.when(j == n_chunks - 1)
     def _():
-        l = l_ref[:] * (1.0 - rate) if rate else l_ref[:]
-        safe_l = jnp.where(l > 0, l, 1.0)            # fully-masked rows -> 0
-        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log(jnp.where(
-            l_ref[:] > 0, l_ref[:], 1.0))
+        for g in range(block_bh):
+            l = l_ref[g] * (1.0 - rate) if rate else l_ref[g]
+            safe_l = jnp.where(l > 0, l, 1.0)        # fully-masked rows -> 0
+            o_ref[g] = (acc_ref[g] / safe_l).astype(o_ref.dtype)
+            lse_ref[g] = m_ref[g] + jnp.log(jnp.where(
+                l_ref[g] > 0, l_ref[g], 1.0))
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                 delta_ref, dq_ref, dk_ref, dv_ref, dq_acc,
-                *, scale: float, rate: float):
+                *, scale: float, rate: float, block_bh: int):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -111,53 +123,56 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]                                     # [Lq, hd]
-    k = k_ref[0]                                     # [C, hd]
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)               # [Lq, hd]
-    lse = lse_ref[0]                                 # [Lq, 1]
-    delta = delta_ref[0]                             # [Lq, 1]
+    for g in range(block_bh):
+        q = q_ref[g]                                 # [Lq, hd]
+        k = k_ref[g]                                 # [C, hd]
+        v = v_ref[g]
+        do = do_ref[g].astype(jnp.float32)           # [Lq, hd]
+        lse = lse_ref[g]                             # [Lq, 1]
+        delta = delta_ref[g]                         # [Lq, 1]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[0]
-    p = jnp.exp(s - lse)                             # [Lq, C] normalized probs
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[0]
+        p = jnp.exp(s - lse)                         # [Lq, C] normalized
 
-    if rate:
-        keep = _keep_mask(seed_ref, rate, *p.shape)
-        inv_keep = 1.0 / (1.0 - rate)
-        pd = jnp.where(keep, p, 0.0) * inv_keep      # dropped probs P_d
-    else:
-        pd = p
+        if rate:
+            bh = pl.program_id(0) * block_bh + g
+            keep = _keep_mask(seed_ref, bh, rate, *p.shape)
+            inv_keep = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p, 0.0) * inv_keep  # dropped probs P_d
+        else:
+            pd = p
 
-    # Key-side gradients are produced TRANSPOSED ([hd, C], keys in lanes):
-    # contracting over the tiny Lq dim with Lk-major outputs is a
-    # pathological layout on the MXU — measured ~100x slower both here and
-    # in plain XLA. The caller transposes the [BH, hd, Lk] result once.
-    # dv^T_c = do^T @ P_d
-    dv_ref[0] = jax.lax.dot_general(
-        do, pd, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dP_d = do @ v^T ; dP = keep * dP_d / (1-rate) ; ds = P * (dP - delta)
-    # (delta = rowsum(do * out) = rowsum(P_d * dP_d), valid with dropout)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if rate:
-        dp = jnp.where(keep, dp, 0.0) * inv_keep
-    ds = p * (dp - delta)                            # [Lq, C]
-    # dk^T_c = q^T @ ds * scale
-    dk_ref[0] = (jax.lax.dot_general(
-        q.astype(jnp.float32), ds, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
-    # dq += ds @ k * scale
-    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        # Key-side gradients are produced TRANSPOSED ([hd, C], keys in
+        # lanes): contracting over the tiny Lq dim with Lk-major outputs is
+        # a pathological layout on the MXU — measured ~100x slower both here
+        # and in plain XLA. The caller transposes the result once.
+        # dv^T_c = do^T @ P_d
+        dv_ref[g] = jax.lax.dot_general(
+            do, pd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # dP_d = do @ v^T ; dP = keep * dP_d / (1-rate) ; ds = P*(dP - delta)
+        # (delta = rowsum(do * out) = rowsum(P_d * dP_d), valid with dropout)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate:
+            dp = jnp.where(keep, dp, 0.0) * inv_keep
+        ds = p * (dp - delta)                        # [Lq, C]
+        # dk^T_c = q^T @ ds * scale
+        dk_ref[g] = (jax.lax.dot_general(
+            q.astype(jnp.float32), ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        # dq += ds @ k * scale
+        dq_acc[g] = dq_acc[g] + jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
 
     @pl.when(j == n_chunks - 1)
     def _():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        for g in range(block_bh):
+            dq_ref[g] = dq_acc[g].astype(dq_ref.dtype)
 
 
 def _prep(q, k, v, kv_bias, key_chunk):
@@ -171,6 +186,34 @@ def _prep(q, k, v, kv_bias, key_chunk):
     kt = k.transpose(0, 2, 1, 3).reshape(B * nh, Lk, hd)
     vt = v.transpose(0, 2, 1, 3).reshape(B * nh, Lk, hd)
     return qt, kt, vt, B, Lq, Lk, nh, hd
+
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _pick_block_bh(nh: int, Lq: int, chunk: int, hd: int, itemsize: int,
+                   n_bufs: int, n_temps: int) -> int:
+    """Largest divisor of nh whose VMEM working set fits the budget.
+
+    Divisibility keeps every (batch*head) block inside ONE batch row, so the
+    per-batch kv_bias block is constant across the block (see the bias index
+    map). ``n_bufs``: double-buffered [*, hd] tensors in the kernel (q/k/v/
+    out for fwd; q/k/v/do/dq/dk/dv for bwd). ``n_temps``: live [Lq, C] fp32
+    temporaries per head iteration (s/p for fwd; s/p/dp/ds for bwd) — Mosaic
+    only partially reuses them across the unrolled head loop, so they also
+    bound the block (measured: the bwd kernel at 6 heads x 4 temps fails to
+    allocate, 3 x 4 compiles).
+    """
+    for bh in sorted((d for d in range(1, nh + 1) if nh % d == 0),
+                     reverse=True):
+        if n_temps * bh > 12:
+            continue
+        per = bh * (Lq + chunk) * hd * itemsize * n_bufs \
+            + bh * Lq * hd * 4 * 2     # fp32 accumulator scratch
+        temp = n_temps * Lq * chunk * 4
+        if per + temp <= _VMEM_BUDGET:
+            return bh
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -199,30 +242,33 @@ def _fid_forward(q, k, v, kv_bias, seed, key_chunk, interpret, rate):
     qt, kt, vt, B, Lq, Lk, nh, hd = _prep(q, k, v, kv_bias, key_chunk)
     scale = hd ** -0.5
     n_chunks = Lk // key_chunk
-    grid = (B * nh, n_chunks)
+    bbh = _pick_block_bh(nh, Lq, key_chunk, hd, q.dtype.itemsize,
+                         n_bufs=4, n_temps=2)
+    grid = (B * nh // bbh, n_chunks)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, block_bh=bbh),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, 1, key_chunk), lambda bh, j: (bh // nh, 0, j)),
+            pl.BlockSpec((bbh, Lq, hd), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, key_chunk, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((bbh, key_chunk, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, key_chunk),
+                         lambda b, j, _nh=nh, _bbh=bbh: (b * _bbh // _nh, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, Lq, 1), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((bbh, Lq, hd), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, Lq, 1), lambda b, j: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * nh, Lq, hd), q.dtype),
             jax.ShapeDtypeStruct((B * nh, Lq, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lq, hd), jnp.float32),
-            pltpu.VMEM((Lq, 1), jnp.float32),
-            pltpu.VMEM((Lq, 1), jnp.float32),
+            pltpu.VMEM((bbh, Lq, hd), jnp.float32),
+            pltpu.VMEM((bbh, Lq, 1), jnp.float32),
+            pltpu.VMEM((bbh, Lq, 1), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -250,32 +296,35 @@ def _fid_bwd(key_chunk, interpret, rate, res, g):
                     axis=-1, keepdims=True)          # [BH, Lq, 1]
     scale = hd ** -0.5
     n_chunks = Lk // key_chunk
-    grid = (B * nh, n_chunks)
+    bbh = _pick_block_bh(nh, Lq, key_chunk, hd, q.dtype.itemsize,
+                         n_bufs=7, n_temps=4)
+    grid = (B * nh // bbh, n_chunks)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        functools.partial(_bwd_kernel, scale=scale, rate=rate, block_bh=bbh),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, key_chunk, hd), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, 1, key_chunk), lambda bh, j: (bh // nh, 0, j)),
-            pl.BlockSpec((1, Lq, 1), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, Lq, 1), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((bbh, Lq, hd), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, key_chunk, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((bbh, key_chunk, hd), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, key_chunk),
+                         lambda b, j, _nh=nh, _bbh=bbh: (b * _bbh // _nh, 0, j)),
+            pl.BlockSpec((bbh, Lq, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, Lq, hd), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, Lq, 1), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lq, hd), lambda bh, j: (bh, 0, 0)),
-            pl.BlockSpec((1, hd, key_chunk), lambda bh, j: (bh, 0, j)),
-            pl.BlockSpec((1, hd, key_chunk), lambda bh, j: (bh, 0, j)),
+            pl.BlockSpec((bbh, Lq, hd), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bbh, hd, key_chunk), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((bbh, hd, key_chunk), lambda b, j: (b, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * nh, Lq, hd), q.dtype),
             jax.ShapeDtypeStruct((B * nh, hd, Lk), k.dtype),   # transposed
             jax.ShapeDtypeStruct((B * nh, hd, Lk), v.dtype),   # transposed
         ],
-        scratch_shapes=[pltpu.VMEM((Lq, hd), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bbh, Lq, hd), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
