@@ -1,0 +1,138 @@
+"""Full three-stage train-iteration benchmark at per-chip scale.
+
+bench.py measures stage C (the fused differentiable step) in isolation; this
+tool measures the OTHER two stages of one EMDR2 training iteration
+(tasks/e2eqa.py docstring, SURVEY.md §3.2) on a synthetic per-chip world:
+
+  stage A (jit)   query CLS embed -> fused MIPS top-(K+1) over the in-HBM
+                  1.31M x 768 shard -> host row->passage-id lookup
+  stage B (host)  C++ postprocess: B*K reader/teacher/context row builds
+                  with neighbor-window budget logic
+
+The synthetic corpus is 1,310,720 pre-tokenized passages (the 21M/16
+per-chip share) with paired titles so neighbor windows exist; it is built
+once into .bench_cache/ and mmap'd afterwards. Run manually:
+
+    python -m emdr2_tpu.tools.bench_pipeline [--batch 4] [--topk 50]
+
+Prints one JSON line with per-stage ms. The point: both stages together are
+~1% of the 2s stage-C step (and the prefetch pipeline hides them entirely),
+so the bench.py train-step number is the honest full-iteration number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+
+def build_world(cache: pathlib.Path, n_docs: int, doc_len=30, title_len=4):
+    from emdr2_tpu.data.indexed_dataset import (MMapIndexedDataset,
+                                                MMapIndexedDatasetBuilder)
+
+    text_p = str(cache / f"text_{n_docs}")
+    title_p = str(cache / f"title_{n_docs}")
+    if not os.path.exists(text_p + ".idx"):
+        rng = np.random.RandomState(0)
+        toks = rng.randint(5, 25000, size=(n_docs, doc_len)).astype(np.int32)
+        with MMapIndexedDatasetBuilder(text_p) as b:
+            for row in toks:
+                b.add_item(row)
+        # two docs share each title -> 2-passage neighbor windows
+        ttoks = rng.randint(5, 25000, size=(n_docs // 2, title_len)
+                            ).astype(np.int32)
+        with MMapIndexedDatasetBuilder(title_p) as b:
+            for i in range(n_docs):
+                b.add_item(ttoks[i // 2])
+    from emdr2_tpu.data.evidence import EvidenceCorpus
+    return EvidenceCorpus(MMapIndexedDataset(text_p),
+                          MMapIndexedDataset(title_p))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--n-docs", type=int, default=1_310_720)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from emdr2_tpu.config import EMDR2Config, bert_base
+    from emdr2_tpu.data.postprocess import postprocess_retrieved
+    from emdr2_tpu.models.bert import BertEncoder
+    from emdr2_tpu.ops import mips_topk
+
+    cache = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+
+    t0 = time.time()
+    corpus = build_world(cache, args.n_docs)
+    corpus.neighbour_table()            # built once, cached on the corpus
+    setup_s = time.time() - t0
+
+    cfg = EMDR2Config()
+    B, K = args.batch, args.topk
+    kq = K + 1                          # trivial-doc drop fetches K+1
+    rng = np.random.RandomState(1)
+
+    # stage A: query embed (flagship BERT-base query tower) + fused MIPS
+    enc = BertEncoder(bert_base(fid_flash_attention=True))
+    qids = jnp.asarray(rng.randint(5, 25000, size=(B, 64)), jnp.int32)
+    params = enc.init({"params": jax.random.PRNGKey(0)}, qids)
+    shard = jax.random.normal(jax.random.PRNGKey(1),
+                              (args.n_docs, 768), jnp.bfloat16)
+
+    @jax.jit
+    def stage_a(params, qids, shard):
+        q = enc.apply(params, qids, method=BertEncoder.embed)
+        return mips_topk(q.astype(jnp.bfloat16), shard, kq,
+                         chunk_rows=cfg.index.chunk_rows,
+                         group_size=cfg.index.group_size,
+                         query_tile=cfg.index.query_tile,
+                         cands_per_group=cfg.index.cands_per_group,
+                         interpret=jax.default_backend() == "cpu")
+
+    def run_a():
+        vals, rows = stage_a(params, qids, shard)
+        rows_h = np.asarray(rows)       # host readback, as the task does
+        return rows_h + 1               # row -> 1-based passage id
+
+    pids = run_a()
+    t0 = time.time()
+    for _ in range(args.iters):
+        pids = run_a()
+    a_ms = (time.time() - t0) / args.iters * 1000
+
+    # stage B: C++ postprocess of the retrieved ids
+    qt5 = rng.randint(5, 25000, size=(B, 64)).astype(np.int32)
+    qlens = np.full(B, 24, np.int32)
+    uids = -np.arange(1, B + 1)
+    post = functools.partial(
+        postprocess_retrieved, query_uids=uids, query_t5_ids=qt5,
+        query_t5_lens=qlens, corpus=corpus, topk=K,
+        retriever_seq_len=cfg.retriever.seq_len,
+        reader_seq_len=cfg.reader.seq_len, cls_id=2, sep_id=3, pad_id=0)
+    post(topk_passage_ids=pids)
+    t0 = time.time()
+    for _ in range(args.iters):
+        post(topk_passage_ids=pids)
+    b_ms = (time.time() - t0) / args.iters * 1000
+
+    print(json.dumps({
+        "n_docs": args.n_docs, "batch": B, "topk": K,
+        "stage_a_retrieve_ms": round(a_ms, 2),
+        "stage_b_postprocess_ms": round(b_ms, 2),
+        "world_setup_s": round(setup_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
