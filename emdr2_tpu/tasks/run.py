@@ -176,8 +176,10 @@ def make_config(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from emdr2_tpu.utils.platform import respect_jax_platforms_env
+    from emdr2_tpu.utils.platform import (enable_compilation_cache,
+                                          respect_jax_platforms_env)
     respect_jax_platforms_env()
+    enable_compilation_cache()
     # multi-host rendezvous BEFORE any device use (the reference's
     # init_distributed TCP rendezvous, initialize.py:76-110)
     from emdr2_tpu.parallel.distributed import init_distributed
