@@ -171,6 +171,22 @@ class Attention(nn.Module):
         cfg = self.config
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
 
+        use_flash = (not decode and kv_bias is not None and bias is None
+                     and cfg.fid_flash_attention)
+
+        def dropout_seed():
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), (),
+                                       jnp.uint32)
+            return rate, seed
+
+        def out_proj(o):
+            return Dense(h, ("heads", "embed"), dtype=cfg.dtype,
+                         kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
+                         name="out")(o)
+
         if self.cross_attention:
             q = Dense(h, ("embed", "heads"), dtype=cfg.dtype,
                       kernel_init=normal_init(cfg.init_std), name="query")(x)
@@ -184,6 +200,17 @@ class Attention(nn.Module):
         else:
             qkv = Dense(3 * h, ("embed", "heads"), dtype=cfg.dtype,
                         kernel_init=normal_init(cfg.init_std), name="qkv")(x)
+            if use_flash and x.shape[-2] <= cfg.flash_key_chunk:
+                # fused-QKV slab kernel: consumes the Dense output directly
+                # and its VJP emits the combined dqkv slab — no split/
+                # head-transpose relayouts in fwd, remat recompute, or bwd
+                # (profiled at ~16% of the flagship step for the general
+                # [B, L, nh, hd] contract)
+                from emdr2_tpu.ops.fid_attention import flash_self_attention
+                rate, seed = dropout_seed()
+                o = flash_self_attention(qkv, kv_bias.astype(jnp.float32),
+                                         seed, nh, None, rate)
+                return out_proj(o.astype(cfg.dtype))
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -191,8 +218,6 @@ class Attention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
 
-        use_flash = (not decode and kv_bias is not None and bias is None
-                     and cfg.fid_flash_attention)
         if use_flash:
             key_chunk = min(cfg.flash_key_chunk, k.shape[-3])
             rem = k.shape[-3] % key_chunk
@@ -211,21 +236,16 @@ class Attention(nn.Module):
             kb = kv_bias.astype(jnp.float32)[:, None, None, :]
             bias = kb if bias is None else bias + kb
         if use_flash:
-            # flash attention (FiD cross-attn or padding-masked self-attn):
-            # no [Lq, Lk] score materialization; attention dropout happens
-            # inside the kernel (identical mask in fwd and bwd)
+            # flash attention (FiD cross-attn, or self-attn with a long or
+            # chunked key axis): no [Lq, Lk] score materialization;
+            # attention dropout happens inside the kernel (identical mask in
+            # fwd and bwd)
             from emdr2_tpu.ops.fid_attention import fid_cross_attention
-            rate = 0.0 if deterministic else cfg.attention_dropout
-            seed = None
-            if rate > 0.0:
-                seed = jax.random.bits(self.make_rng("dropout"), (),
-                                       jnp.uint32)
+            rate, seed = dropout_seed()
             out = fid_cross_attention(q, k, v, kv_bias.astype(jnp.float32),
                                       seed, key_chunk, None, rate)
             out = out.astype(cfg.dtype).reshape(out.shape[:-2] + (h,))
-            return Dense(h, ("heads", "embed"), dtype=cfg.dtype,
-                         kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
-                         name="out")(out)
+            return out_proj(out)
 
         if decode and not self.cross_attention:
             # Incremental KV cache (flax decode pattern). The reference has no

@@ -42,11 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _keep_mask(seed_ref, bh, rate: float, lq: int, c: int):
+def _keep_mask(seed_ref, bh, rate: float, lq: int, c: int, j=None):
     """[lq, c] bool keep mask from a murmur3-style integer hash of
     (seed, batch*head index, chunk, row, col). Pure function of its
     coordinates, so the backward kernel regenerates the identical mask."""
-    j = pl.program_id(1).astype(jnp.uint32)
+    j = (pl.program_id(1) if j is None else j).astype(jnp.uint32)
     r = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 1)
     x = (r * jnp.uint32(0x9E3779B1)) ^ (col * jnp.uint32(0x85EBCA77))
@@ -338,6 +338,192 @@ def _fid_bwd(key_chunk, interpret, rate, res, g):
 
 
 fid_cross_attention.defvjp(_fid_fwd, _fid_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused-QKV self-attention slab kernel.
+#
+# The general kernel's [B, L, nh, hd] contract forces split + head-transpose
+# relayouts of the fused QKV projection on every call — profiled at ~16% of
+# the flagship train step (split 127 ms + transpose 125 ms + reshape 62 ms
+# per step, counted across forward, remat recompute, and backward). This
+# kernel consumes the Dense(3H) output [B, L, 3H] DIRECTLY: heads are sliced
+# out of the slab in VMEM, and the backward pass emits the combined dqkv
+# gradient slab [B, L, 3H] — exactly the cotangent the projection's VJP
+# wants. Zero HBM relayouts in either direction.
+#
+# Self-attention specific simplifications vs the general kernel:
+# - single key chunk (Lk == Lq == L <= flash_key_chunk for every encoder in
+#   the model), so no online accumulation and no saved lse: the backward
+#   kernel recomputes the row max/normalizer in-register;
+# - dk/dv contract over L (512), not the tiny decoder Lq, so key-side grads
+#   come out in natural [L, hd] layout — no transposed-output trick.
+# --------------------------------------------------------------------------
+
+
+def _self_fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref,
+                     *, scale: float, rate: float, nh: int, hd: int):
+    slab = qkv_ref[0]                                # [L, 3H]
+    bias = bias_ref[0]                               # [1, L]
+    H = nh * hd
+    b = pl.program_id(0)
+    outs = []
+    for h in range(nh):
+        q = slab[:, h * hd:(h + 1) * hd]
+        k = slab[:, H + h * hd:H + (h + 1) * hd]
+        v = slab[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias                         # [L, L]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if rate:
+            keep = _keep_mask(seed_ref, b * nh + h, rate, *p.shape,
+                              j=jnp.uint32(0))
+            pd = jnp.where(keep, p, 0.0)
+            l_eff = l * (1.0 - rate)
+        else:
+            pd, l_eff = p, l
+        safe = jnp.where(l_eff > 0, l_eff, 1.0)
+        outs.append((jax.lax.dot_general(
+            pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / safe).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _self_bwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref, do_ref, dqkv_ref,
+                     *, scale: float, rate: float, nh: int, hd: int):
+    slab = qkv_ref[0]                                # [L, 3H]
+    bias = bias_ref[0]
+    out = o_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    H = nh * hd
+    b = pl.program_id(0)
+    dqs, dks, dvs = [], [], []
+    for h in range(nh):
+        q = slab[:, h * hd:(h + 1) * hd]
+        k = slab[:, H + h * hd:H + (h + 1) * hd]
+        v = slab[:, 2 * H + h * hd:2 * H + (h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        out_h = out[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        inv_l = 1.0 / jnp.where(l > 0, l, 1.0)
+        P = p * inv_l                                # normalized probs
+
+        delta = jnp.sum(do_h * out_h, axis=1, keepdims=True)   # [L, 1]
+        # dP_d = do @ v^T ; dP = keep * dP_d / (1-rate)
+        dp = jax.lax.dot_general(do_h, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate:
+            keep = _keep_mask(seed_ref, b * nh + h, rate, *p.shape,
+                              j=jnp.uint32(0))
+            inv_keep = 1.0 / (1.0 - rate)
+            dp = jnp.where(keep, dp, 0.0) * inv_keep
+            Pd = jnp.where(keep, P, 0.0) * inv_keep  # dropped probs
+        else:
+            Pd = P
+        ds = P * (dp - delta)                        # [L, L]
+        dqs.append((jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        ).astype(dqkv_ref.dtype))
+        # contract over the query rows (L) -> natural [L, hd] layout
+        dks.append((jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        ).astype(dqkv_ref.dtype))
+        dvs.append(jax.lax.dot_general(
+            Pd, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype))
+    dqkv_ref[0] = jnp.concatenate(dqs + dks + dvs, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_self_attention(qkv, kv_bias, seed=None, nh: int = 12,
+                         interpret: Optional[bool] = None,
+                         dropout_rate: float = 0.0):
+    """Padding-masked self-attention on a fused QKV slab.
+
+    qkv [B, L, 3H] (the Dense(3*H) output, features ordered [q | k | v]),
+    kv_bias [B, L] fp32 key-side additive bias. Returns [B, L, H];
+    differentiable w.r.t. qkv (the VJP emits the combined dqkv slab).
+    Requires L <= the VMEM-friendly single-chunk size (every encoder in the
+    model: 512/256/64); use ``fid_cross_attention`` otherwise.
+    """
+    out, _ = _self_fwd(qkv, kv_bias, seed, nh, interpret, dropout_rate)
+    return out
+
+
+def _self_fwd(qkv, kv_bias, seed, nh, interpret, rate):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L, H3 = qkv.shape
+    assert H3 % (3 * nh) == 0, (H3, nh)
+    H = H3 // 3
+    hd = H // nh
+    assert kv_bias.shape == (B, L)
+    scale = hd ** -0.5
+
+    out = pl.pallas_call(
+        functools.partial(_self_fwd_kernel, scale=scale, rate=rate,
+                          nh=nh, hd=hd),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, H3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), qkv.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # the unrolled head loop keeps several [L, L] fp32 temporaries
+            # live; the default 16M scoped-vmem budget is too small at L=512
+            vmem_limit_bytes=int(64e6)),
+        interpret=interpret,
+    )(_seed_arr(seed), qkv, kv_bias[:, None, :])
+    return out, (qkv, kv_bias, seed, out)
+
+
+def _self_bwd(nh, interpret, rate, res, g):
+    qkv, kv_bias, seed, out = res
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L, H3 = qkv.shape
+    H = H3 // 3
+    hd = H // nh
+    scale = hd ** -0.5
+
+    dqkv = pl.pallas_call(
+        functools.partial(_self_bwd_kernel, scale=scale, rate=rate,
+                          nh=nh, hd=hd),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, H3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, H3), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, H3), qkv.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=int(96e6)),
+        interpret=interpret,
+    )(_seed_arr(seed), qkv, kv_bias[:, None, :], out, g)
+    return dqkv, None, None
+
+
+flash_self_attention.defvjp(_self_fwd, _self_bwd)
 
 
 def fid_cross_attention_reference(q, k, v, kv_bias):

@@ -9,6 +9,7 @@ import pytest
 from emdr2_tpu.ops.fid_attention import (
     fid_cross_attention,
     fid_cross_attention_reference,
+    flash_self_attention,
 )
 
 
@@ -166,6 +167,86 @@ class TestDropout:
             i = tuple(rng.randint(0, s) for s in q.shape)
             qp = np.asarray(q).copy(); qp[i] += eps
             qm = np.asarray(q).copy(); qm[i] -= eps
+            fd = (float(f(jnp.asarray(qp))) - float(f(jnp.asarray(qm)))) / (
+                2 * eps)
+            np.testing.assert_allclose(dq[i], fd, rtol=0.05, atol=1e-3)
+
+
+def make_slab(B=2, L=64, nh=2, hd=16, seed=0, n_masked=9):
+    """Random fused-QKV slab + the equivalent per-head q/k/v views."""
+    rng = np.random.RandomState(seed)
+    H = nh * hd
+    qkv = jnp.asarray(rng.randn(B, L, 3 * H), jnp.float32)
+    q, k, v = (t.reshape(B, L, nh, hd) for t in jnp.split(qkv, 3, axis=-1))
+    bias = np.zeros((B, L), np.float32)
+    if n_masked:
+        bias[:, -n_masked:] = -1e9
+    return qkv, q, k, v, jnp.asarray(bias)
+
+
+class TestSelfSlab:
+    """Fused-QKV self-attention slab kernel: consumes [B, L, 3H] directly,
+    VJP emits the combined dqkv slab (no split/transpose relayouts)."""
+
+    def test_matches_reference(self):
+        qkv, q, k, v, bias = make_slab()
+        got = flash_self_attention(qkv, bias, None, 2, True, 0.0)
+        want = fid_cross_attention_reference(q, k, v, bias)
+        want = want.reshape(want.shape[:2] + (-1,))
+        np.testing.assert_allclose(np.asarray(got)[:, :-9],
+                                   np.asarray(want)[:, :-9], atol=2e-5)
+
+    def test_grads_match_reference(self):
+        qkv, q, k, v, bias = make_slab(L=32, n_masked=5)
+        g = jnp.asarray(np.random.RandomState(7).randn(2, 32, 32), jnp.float32)
+
+        def loss_slab(qkv):
+            return jnp.sum(g * flash_self_attention(qkv, bias, None, 2,
+                                                    True, 0.0))
+
+        def loss_ref(qkv):
+            q, k, v = (t.reshape(2, 32, 2, 16)
+                       for t in jnp.split(qkv, 3, axis=-1))
+            out = fid_cross_attention_reference(q, k, v, bias)
+            return jnp.sum(g * out.reshape(2, 32, -1))
+
+        gs = jax.grad(loss_slab)(qkv)
+        gr = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr), atol=3e-4)
+
+    def test_masked_keys_get_zero_kv_grad(self):
+        qkv, *_ , bias = make_slab(L=32, n_masked=6)
+
+        def loss(qkv):
+            return jnp.sum(flash_self_attention(qkv, bias, None, 2, True, 0.0))
+
+        d = np.asarray(jax.grad(loss)(qkv))
+        H = 32
+        # dk and dv slab thirds must be zero at masked key rows
+        np.testing.assert_allclose(d[:, -6:, H:], 0, atol=1e-6)
+
+    def test_dropout_deterministic_and_grad_consistent(self):
+        qkv, *_ , bias = make_slab(B=1, L=16, nh=1, n_masked=3)
+        seed = jnp.uint32(9)
+        a = flash_self_attention(qkv, bias, seed, 1, True, 0.4)
+        b = flash_self_attention(qkv, bias, seed, 1, True, 0.4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = flash_self_attention(qkv, bias, jnp.uint32(10), 1, True, 0.4)
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+        g = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16), jnp.float32)
+
+        def f(qkv):
+            return jnp.sum(g * flash_self_attention(qkv, bias, seed, 1,
+                                                    True, 0.4))
+
+        dq = np.asarray(jax.grad(f)(qkv))
+        eps = 1e-3
+        rng = np.random.RandomState(2)
+        for _ in range(3):
+            i = tuple(rng.randint(0, s) for s in qkv.shape)
+            qp = np.asarray(qkv).copy(); qp[i] += eps
+            qm = np.asarray(qkv).copy(); qm[i] -= eps
             fd = (float(f(jnp.asarray(qp))) - float(f(jnp.asarray(qm)))) / (
                 2 * eps)
             np.testing.assert_allclose(dq[i], fd, rtol=0.05, atol=1e-3)
