@@ -196,6 +196,25 @@ class Attention(nn.Module):
                                 name="key_value")(kv)
             else:
                 kv_proj = precomputed_kv.astype(cfg.dtype)
+            if use_flash:
+                # kv-slab kernel: consumes the query/key_value projections
+                # directly, VJP emits dq + the combined dkv slab — no
+                # split/head-transpose relayouts of the [Lk, 2H] projection
+                from emdr2_tpu.ops.fid_attention import flash_cross_attention
+                Lk = kv_proj.shape[-2]
+                key_chunk = min(cfg.flash_key_chunk, Lk)
+                rem = Lk % key_chunk
+                kvb = kv_bias.astype(jnp.float32)
+                if rem:
+                    # pad keys to a chunk multiple; they carry -1e9 bias
+                    pad = key_chunk - rem
+                    kv_proj = jnp.pad(kv_proj, ((0, 0), (0, pad), (0, 0)))
+                    kvb = jnp.pad(kvb, ((0, 0), (0, pad)),
+                                  constant_values=-1e9)
+                rate, seed = dropout_seed()
+                o = flash_cross_attention(q, kv_proj, kvb, seed, nh,
+                                          key_chunk, None, rate)
+                return out_proj(o.astype(cfg.dtype))
             k, v = jnp.split(kv_proj, 2, axis=-1)
         else:
             qkv = Dense(3 * h, ("embed", "heads"), dtype=cfg.dtype,

@@ -526,6 +526,243 @@ def _self_bwd(nh, interpret, rate, res, g):
 flash_self_attention.defvjp(_self_fwd, _self_bwd)
 
 
+# --------------------------------------------------------------------------
+# Cross-attention kv-slab kernel.
+#
+# Same slab idea for FiD decoder cross-attention: the query projection
+# [B, Lq, H] and the fused key/value projection [B, Lk, 2H] are consumed
+# directly (heads sliced in VMEM), chunked along the (up to 25,600-key) Lk
+# axis with online softmax. The backward emits dq [B, Lq, H] plus the
+# combined dkv slab TRANSPOSED as [B, 2H, Lk] — key-side grads contract over
+# the tiny Lq, so lane-major-keys is the only MXU-friendly layout (see the
+# general kernel's note); the caller pays ONE transpose back instead of the
+# split + 4 head-transposes of the [B, Lk, nh, hd] contract.
+# --------------------------------------------------------------------------
+
+
+def _xslab_fwd_kernel(seed_ref, q_ref, kv_ref, bias_ref, o_ref, lse_ref,
+                      acc_ref, m_ref, l_ref,
+                      *, scale: float, rate: float, nh: int, hd: int):
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    b = pl.program_id(0)
+    H = nh * hd
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qs = q_ref[0]                                    # [Lq, H]
+    kvs = kv_ref[0]                                  # [C, 2H]
+    bias = bias_ref[0]                               # [1, C]
+    for h in range(nh):
+        q = qs[:, h * hd:(h + 1) * hd]
+        k = kvs[:, h * hd:(h + 1) * hd]
+        v = kvs[:, H + h * hd:H + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias                         # [Lq, C]
+        m_prev = m_ref[h]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if rate:
+            keep = _keep_mask(seed_ref, b * nh + h, rate, *p.shape)
+            p = jnp.where(keep, p, 0.0)
+        acc_ref[h] = acc_ref[h] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        outs, lses = [], []
+        for h in range(nh):
+            l = l_ref[h] * (1.0 - rate) if rate else l_ref[h]
+            safe_l = jnp.where(l > 0, l, 1.0)
+            outs.append((acc_ref[h] / safe_l).astype(o_ref.dtype))
+            lses.append(m_ref[h] + jnp.log(jnp.where(
+                l_ref[h] > 0, l_ref[h], 1.0)))
+        o_ref[0] = jnp.concatenate(outs, axis=1)     # [Lq, H]
+        lse_ref[0] = jnp.concatenate(lses, axis=1)   # [Lq, nh]
+
+
+def _xslab_bwd_kernel(seed_ref, q_ref, kv_ref, bias_ref, lse_ref, o_ref,
+                      do_ref, dq_ref, dkv_ref, dq_acc,
+                      *, scale: float, rate: float, nh: int, hd: int):
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    b = pl.program_id(0)
+    H = nh * hd
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    qs = q_ref[0]                                    # [Lq, H]
+    kvs = kv_ref[0]                                  # [C, 2H]
+    bias = bias_ref[0]
+    out = o_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                                 # [Lq, nh]
+    dk_ts, dv_ts = [], []
+    for h in range(nh):
+        q = qs[:, h * hd:(h + 1) * hd]
+        k = kvs[:, h * hd:(h + 1) * hd]
+        v = kvs[:, H + h * hd:H + (h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        out_h = out[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+        lse_h = lse[:, h:h + 1]                      # [Lq, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        p = jnp.exp(s - lse_h)                       # normalized probs
+        delta = jnp.sum(do_h * out_h, axis=1, keepdims=True)
+        dp = jax.lax.dot_general(do_h, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate:
+            keep = _keep_mask(seed_ref, b * nh + h, rate, *p.shape)
+            inv_keep = 1.0 / (1.0 - rate)
+            dp = jnp.where(keep, dp, 0.0) * inv_keep
+            pd = jnp.where(keep, p, 0.0) * inv_keep
+        else:
+            pd = p
+        ds = p * (dp - delta)                        # [Lq, C]
+        dq_acc[h] = dq_acc[h] + jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        # transposed key-side grads: [hd, C]
+        dk_ts.append((jax.lax.dot_general(
+            q.astype(jnp.float32), ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        ).astype(dkv_ref.dtype))
+        dv_ts.append(jax.lax.dot_general(
+            do_h, pd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dkv_ref.dtype))
+    dkv_ref[0] = jnp.concatenate(dk_ts + dv_ts, axis=0)   # [2H, C]
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        dq_ref[0] = jnp.concatenate(
+            [dq_acc[h] for h in range(nh)], axis=1).astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_cross_attention(q, kv, kv_bias, seed=None, nh: int = 12,
+                          key_chunk: int = 512,
+                          interpret: Optional[bool] = None,
+                          dropout_rate: float = 0.0):
+    """FiD cross-attention on projection slabs.
+
+    q [B, Lq, H] (the query Dense output), kv [B, Lk, 2H] (the fused
+    key_value Dense output, features ordered [k | v]), kv_bias [B, Lk].
+    Returns [B, Lq, H]; differentiable w.r.t. q and kv (the VJP emits dq and
+    the combined dkv slab).
+    """
+    out, _ = _xslab_fwd(q, kv, kv_bias, seed, nh, key_chunk, interpret,
+                        dropout_rate)
+    return out
+
+
+def _xslab_forward(q, kv, kv_bias, seed, nh, key_chunk, interpret, rate):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Lq, H = q.shape
+    Lk = kv.shape[1]
+    assert kv.shape == (B, Lk, 2 * H)
+    assert kv_bias.shape == (B, Lk)
+    assert Lk % key_chunk == 0, (Lk, key_chunk)
+    hd = H // nh
+    scale = hd ** -0.5
+    n_chunks = Lk // key_chunk
+
+    out, lse = pl.pallas_call(
+        functools.partial(_xslab_fwd_kernel, scale=scale, rate=rate,
+                          nh=nh, hd=hd),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, key_chunk, 2 * H), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, key_chunk), lambda b, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, Lq, nh), lambda b, j: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq, H), q.dtype),
+            jax.ShapeDtypeStruct((B, Lq, nh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nh, Lq, hd), jnp.float32),
+            pltpu.VMEM((nh, Lq, 1), jnp.float32),
+            pltpu.VMEM((nh, Lq, 1), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(64e6)),
+        interpret=interpret,
+    )(_seed_arr(seed), q, kv, kv_bias[:, None, :])
+    return out, lse
+
+
+def _xslab_fwd(q, kv, kv_bias, seed, nh, key_chunk, interpret, rate):
+    out, lse = _xslab_forward(q, kv, kv_bias, seed, nh, key_chunk,
+                              interpret, rate)
+    return out, (q, kv, kv_bias, seed, out, lse)
+
+
+def _xslab_bwd(nh, key_chunk, interpret, rate, res, g):
+    q, kv, kv_bias, seed, out, lse = res
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Lq, H = q.shape
+    Lk = kv.shape[1]
+    hd = H // nh
+    scale = hd ** -0.5
+    n_chunks = Lk // key_chunk
+
+    dq, dkv_t = pl.pallas_call(
+        functools.partial(_xslab_bwd_kernel, scale=scale, rate=rate,
+                          nh=nh, hd=hd),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, key_chunk, 2 * H), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, key_chunk), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, Lq, nh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Lq, H), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 2 * H, key_chunk), lambda b, j: (b, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq, H), q.dtype),
+            jax.ShapeDtypeStruct((B, 2 * H, Lk), kv.dtype),   # transposed
+        ],
+        scratch_shapes=[pltpu.VMEM((nh, Lq, hd), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(96e6)),
+        interpret=interpret,
+    )(_seed_arr(seed), q, kv, kv_bias[:, None, :], lse, out, g)
+    # one transpose back to the projection-VJP layout
+    dkv = jnp.swapaxes(dkv_t, 1, 2)
+    return dq, dkv, None, None
+
+
+flash_cross_attention.defvjp(_xslab_fwd, _xslab_bwd)
+
+
 def fid_cross_attention_reference(q, k, v, kv_bias):
     """Plain-XLA reference with identical semantics (tests + fallback)."""
     hd = q.shape[-1]

@@ -9,6 +9,7 @@ import pytest
 from emdr2_tpu.ops.fid_attention import (
     fid_cross_attention,
     fid_cross_attention_reference,
+    flash_cross_attention,
     flash_self_attention,
 )
 
@@ -247,6 +248,85 @@ class TestSelfSlab:
             i = tuple(rng.randint(0, s) for s in qkv.shape)
             qp = np.asarray(qkv).copy(); qp[i] += eps
             qm = np.asarray(qkv).copy(); qm[i] -= eps
+            fd = (float(f(jnp.asarray(qp))) - float(f(jnp.asarray(qm)))) / (
+                2 * eps)
+            np.testing.assert_allclose(dq[i], fd, rtol=0.05, atol=1e-3)
+
+
+def make_cross_slab(B=2, Lq=8, Lk=256, nh=2, hd=16, seed=0, n_masked=40):
+    rng = np.random.RandomState(seed)
+    H = nh * hd
+    q = jnp.asarray(rng.randn(B, Lq, H), jnp.float32)
+    kvs = jnp.asarray(rng.randn(B, Lk, 2 * H), jnp.float32)
+    bias = np.zeros((B, Lk), np.float32)
+    if n_masked:
+        bias[:, -n_masked:] = -1e9
+    qh = q.reshape(B, Lq, nh, hd)
+    k, v = (t.reshape(B, Lk, nh, hd) for t in jnp.split(kvs, 2, axis=-1))
+    return q, kvs, qh, k, v, jnp.asarray(bias)
+
+
+class TestCrossSlab:
+    """kv-slab cross-attention kernel: [B, Lq, H] x [B, Lk, 2H] projections
+    consumed directly; VJP emits dq + combined (transposed-then-restored)
+    dkv slab."""
+
+    @pytest.mark.parametrize("chunk", [64, 256])
+    def test_matches_reference(self, chunk):
+        q, kvs, qh, k, v, bias = make_cross_slab()
+        got = flash_cross_attention(q, kvs, bias, None, 2, chunk, True, 0.0)
+        want = fid_cross_attention_reference(qh, k, v, bias)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want).reshape(got.shape), atol=2e-5)
+
+    def test_grads_match_reference(self):
+        q, kvs, *_ , bias = make_cross_slab(Lk=128, n_masked=16)
+        g = jnp.asarray(np.random.RandomState(7).randn(2, 8, 32), jnp.float32)
+
+        def loss_slab(q, kvs):
+            return jnp.sum(g * flash_cross_attention(q, kvs, bias, None, 2,
+                                                     64, True, 0.0))
+
+        def loss_ref(q, kvs):
+            qh = q.reshape(2, 8, 2, 16)
+            k, v = (t.reshape(2, 128, 2, 16)
+                    for t in jnp.split(kvs, 2, axis=-1))
+            out = fid_cross_attention_reference(qh, k, v, bias)
+            return jnp.sum(g * out.reshape(2, 8, -1))
+
+        gs = jax.grad(loss_slab, argnums=(0, 1))(q, kvs)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(q, kvs)
+        for a, b, name in zip(gs, gr, ("dq", "dkv")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, err_msg=name)
+
+    def test_masked_keys_zero_grad(self):
+        q, kvs, *_ , bias = make_cross_slab(Lk=128, n_masked=32)
+
+        def loss(kvs):
+            return jnp.sum(flash_cross_attention(q, kvs, bias, None, 2,
+                                                 64, True, 0.0))
+
+        d = np.asarray(jax.grad(loss)(kvs))
+        np.testing.assert_allclose(d[:, -32:, :], 0, atol=1e-6)
+
+    def test_dropout_grad_consistent(self):
+        q, kvs, *_ , bias = make_cross_slab(B=1, Lq=4, Lk=64, nh=1, hd=8,
+                                            n_masked=4)
+        seed = jnp.uint32(3)
+        g = jnp.asarray(np.random.RandomState(1).randn(1, 4, 8), jnp.float32)
+
+        def f(q):
+            return jnp.sum(g * flash_cross_attention(q, kvs, bias, seed, 1,
+                                                     32, True, 0.4))
+
+        dq = np.asarray(jax.grad(f)(q))
+        eps = 1e-3
+        rng = np.random.RandomState(2)
+        for _ in range(3):
+            i = tuple(rng.randint(0, s) for s in q.shape)
+            qp = np.asarray(q).copy(); qp[i] += eps
+            qm = np.asarray(q).copy(); qm[i] -= eps
             fd = (float(f(jnp.asarray(qp))) - float(f(jnp.asarray(qm)))) / (
                 2 * eps)
             np.testing.assert_allclose(dq[i], fd, rtol=0.05, atol=1e-3)
