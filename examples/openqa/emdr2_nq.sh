@@ -32,7 +32,10 @@ python -m emdr2_tpu.tasks.run \
     --save "$CHECKPOINT_PATH" \
     --load "$CHECKPOINT_PATH" \
     --dp "$DP" \
-    --batch-size 8 \
+    --batch-size ${BATCH_PER_CHIP:-8} \
+    `# per-dp-shard batch (reference: 8 per 40GB A100). On 16GB v5e use` \
+    `# BATCH_PER_CHIP=4 with dp=16 for the same global batch 64 — measured` \
+    `# peak 11.9GB + 2GB index shard/chip; B=8 needs a >=24GB chip (v5p)` \
     --epochs 10 \
     --topk-retrievals 50 \
     --seq-length 512 \
