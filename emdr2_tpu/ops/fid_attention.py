@@ -1,34 +1,38 @@
-"""Flash-style attention for the EMDR2 reader/retriever (Pallas, custom VJP).
+"""Flash-style attention kernels for the EMDR2 reader/retriever (Pallas,
+custom VJP). Replaces the reference's materialized-score attention + CUDA
+fused-softmax pair (``/root/reference/megatron/model/emdr2_model.py:148-183``,
+``model/transformer.py:111-408``, ``megatron/fused_kernels/``); no
+[Lq, Lk] score tensor ever reaches HBM, in forward or backward.
 
-Two call sites share this kernel (``/root/reference/megatron/model/
-emdr2_model.py:148-183`` and ``model/transformer.py:111-408``):
+Three kernels, two production entry points:
 
-1. **FiD decoder cross-attention** — 32 query positions over K*512 (up to
-   25,600) encoder positions. A naive implementation materializes
-   [B, heads, 32, 25600] fp32 scores per layer (~314 MB at B=8) in both
-   forward and backward; the reference paid this cost and managed memory with
-   activation checkpointing (SURVEY.md §5.7).
-2. **Encoder self-attention** (T5 encoder over B*K sequences, both BERT
-   towers) — padding masks are *key-side only*, so the same kernel applies
-   with q == k == v source. This removes the [B*K, heads, 512, 512] score
-   materialization that otherwise dominates HBM traffic and the remat
-   working set of the train step.
+1. ``flash_self_attention`` — **fused-QKV slab self-attention** for every
+   padding-masked encoder (T5 encoder over B*K sequences, both BERT towers).
+   Consumes the ``Dense(3H)`` projection [B, L, 3H] directly (heads sliced
+   in VMEM) and its VJP emits the combined dqkv slab: zero split/
+   head-transpose relayouts. Single-key-chunk specialization — backward
+   recomputes the row max/normalizer, nothing but (qkv, out) is saved.
+2. ``flash_cross_attention`` — **kv-slab FiD cross-attention**: 32 decoder
+   query positions over K*512 (up to 25,600) encoder positions, chunked with
+   online softmax (saved per-head lse). Consumes the query [B, Lq, H] and
+   fused key_value [B, Lk, 2H] projections; backward emits dq + the combined
+   dkv slab (produced lanes-major and restored with one transpose — key-side
+   grads contract over the tiny Lq, so [hd, Lk] is the only MXU-friendly
+   output layout). The reference paid ~314 MB of fp32 scores per layer here
+   and survived on activation checkpointing (SURVEY.md §5.7).
+3. ``fid_cross_attention`` — the general [B, L, nh, hd] per-head form; the
+   long-self-attention fallback (L > flash_key_chunk) and the independent
+   implementation the slab kernels are tested against.
 
-Shape contract:
-- q   [B, Lq, nh, hd]   hd is the lane dim
-- k,v [B, Lk, nh, hd]   Lk a multiple of the key chunk
-- kv_bias [B, Lk] fp32  additive key-side bias (0 or -1e9 for padding).
-  Query-side masking is intentionally absent: padded query positions produce
-  outputs that downstream consumers ignore (CLS readout, key-masked
-  cross-attention, loss masks) — parity holds at every consumed position.
+Masking is *key-side only* (kv_bias [B, Lk] fp32, 0 or -1e9): padded query
+positions produce outputs that downstream consumers ignore (CLS readout,
+key-masked cross-attention, loss masks) — parity holds at every consumed
+position.
 
 Attention dropout (``--attention-dropout``, reference transformer.py:283-332)
-runs *inside* the kernel: the keep mask is a counter-based hash of
-(seed, program ids, row, col), so forward and backward regenerate the exact
-same mask with no [Lq, Lk] materialization and no host RNG state.
-
-Forward saves (out, lse); backward recomputes scores chunk-wise
-(flash-attention backward) — no [Lq, Lk] materialization anywhere.
+runs *inside* the kernels: the keep mask is a counter-based hash of
+(seed, batch*head, chunk, row, col), so forward and backward regenerate the
+exact same mask with no [Lq, Lk] materialization and no host RNG state.
 """
 
 from __future__ import annotations
