@@ -80,8 +80,45 @@ class DecoderSession:
                 lambda x: jnp.take(x, parent_idx, axis=0)
                 if x.ndim > 0 else x, cache)
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def greedy_loop(params, cache, tok0, enc_flat_ids, kvs,
+                        eos_id, max_len=max_decode_len):
+            """Device-resident greedy decode: one dispatch per batch.
+
+            The host-driven loop costs a blocking device round-trip per
+            token (argmax readback); over a remote/tunneled device that
+            dominates generation latency (measured 5.5 s -> ~0.6 s per
+            B=4/K=50 batch). The whole token loop runs in one jitted
+            lax.while_loop with an early-exit predicate on all-rows-EOS."""
+            B = tok0.shape[0]
+            out0 = jnp.zeros((B, max_len), jnp.int32)
+            done0 = jnp.zeros((B,), bool)
+
+            def cond(st):
+                pos, _tok, done, _cache, _out = st
+                return (pos < max_len) & ~jnp.all(done)
+
+            def body(st):
+                pos, tok, done, cache, out = st
+                logits, new_vars = model.apply(
+                    {"params": params, "cache": cache},
+                    tok, None, enc_flat_ids,
+                    position_offset=pos, cross_kvs=kvs,
+                    method=EMDR2Model.decode_step, mutable=["cache"])
+                ys = jnp.argmax(logits[:, -1, :].astype(jnp.float32),
+                                axis=-1).astype(jnp.int32)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, ys[:, None], pos, axis=1)
+                done = done | (ys == eos_id)
+                return pos + 1, ys[:, None], done, new_vars["cache"], out
+
+            _, _, _, _, out = jax.lax.while_loop(
+                cond, body, (0, tok0, done0, cache, out0))
+            return out
+
         self._encode, self._cross_kvs = encode, cross_kvs
         self._step, self._reorder = step, reorder
+        self._greedy_loop = greedy_loop
 
     def encode(self, batch: EMDR2Batch):
         """Retrieval scores + FiD encoder states + per-layer cross K/V."""
@@ -90,12 +127,27 @@ class DecoderSession:
         return topk_lp, kvs, enc_flat_ids
 
     def init_cache(self, batch_rows: int, kvs, enc_flat_ids):
-        """Build the zeroed cache pytree by tracing one decode step."""
-        dec_tok = jnp.zeros((batch_rows, 1), jnp.int32)
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(0)}, dec_tok, None,
-            enc_flat_ids, 0, kvs, method=EMDR2Model.decode_step)
-        return variables["cache"]
+        """Build the zeroed cache pytree by tracing one decode step.
+
+        Jitted (cached per batch size): un-jitted ``model.init`` executes
+        op-by-op, which costs a dispatch round-trip per op on a remote
+        device — measured seconds per eval batch through the tunnel."""
+        key = ("init_cache", batch_rows)
+        if not hasattr(self, "_init_fns"):
+            self._init_fns = {}
+        if key not in self._init_fns:
+            model = self.model
+
+            @jax.jit
+            def init_fn(enc_flat_ids, kvs):
+                dec_tok = jnp.zeros((batch_rows, 1), jnp.int32)
+                variables = model.init(
+                    {"params": jax.random.PRNGKey(0)}, dec_tok, None,
+                    enc_flat_ids, 0, kvs, method=EMDR2Model.decode_step)
+                return variables["cache"]
+
+            self._init_fns[key] = init_fn
+        return self._init_fns[key](enc_flat_ids, kvs)
 
     def step(self, cache, dec_tok, kvs, enc_flat_ids, pos: int):
         return self._step(self.params, cache, jnp.asarray(dec_tok, jnp.int32),
@@ -120,21 +172,27 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
                   bos_id: int, eos_id: int,
                   rng: Optional[jax.Array] = None,
                   sample: bool = False) -> List[List[int]]:
-    """Greedy (or multinomial-sampling) generation."""
+    """Greedy (or multinomial-sampling) generation.
+
+    Greedy runs the whole token loop on device (one dispatch + one readback
+    per batch); sampling keeps the host loop for rng bookkeeping."""
     B = batch.dec_ids.shape[0]
     _, kvs, enc_flat_ids = session.encode(batch)
     cache = session.init_cache(B, kvs, enc_flat_ids)
 
     tok = np.full((B, 1), bos_id, np.int32)
+    if not sample:
+        out = session._greedy_loop(session.params, cache,
+                                   jnp.asarray(tok), enc_flat_ids, kvs,
+                                   jnp.asarray(eos_id, jnp.int32))
+        return _strip_eos(np.asarray(out), eos_id)
+
     done = np.zeros(B, bool)
     result = []
     for pos in range(session.max_decode_len):
         log_probs, cache = session.step(cache, tok, kvs, enc_flat_ids, pos)
-        if sample:
-            rng, sub = jax.random.split(rng)
-            ys = np.asarray(jax.random.categorical(sub, log_probs, axis=-1))
-        else:
-            ys = np.asarray(jnp.argmax(log_probs, axis=-1))
+        rng, sub = jax.random.split(rng)
+        ys = np.asarray(jax.random.categorical(sub, log_probs, axis=-1))
         result.append(ys)
         done |= ys == eos_id
         tok = ys[:, None].astype(np.int32)

@@ -55,12 +55,60 @@ def build_world(cache: pathlib.Path, n_docs: int, doc_len=30, title_len=4):
                           MMapIndexedDataset(title_p))
 
 
+def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5):
+    """Generation latency at flagship size: retrieval-conditioned FiD encode
+    (K contexts) + KV-cached greedy decode of ``max_decode_len`` tokens —
+    the per-batch cost of ``evaluate_em`` / ``QAPipeline.ask``. The
+    reference re-runs the decoder over the whole prefix every step
+    (search_strategy.py:200-227); this path decodes incrementally."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from emdr2_tpu.models import EMDR2Batch, EMDR2Model
+    from emdr2_tpu.models.decoding import DecoderSession, greedy_decode
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    import bench as bench_mod
+
+    cfg = bench_mod.flagship_step_config(B, K)
+    model = EMDR2Model(cfg)
+    rng = np.random.RandomState(0)
+
+    def ids(*shape):
+        return jnp.asarray(rng.randint(2, 30000, size=shape), jnp.int32)
+
+    Ld = cfg.reader.decoder_seq_len
+    batch = EMDR2Batch(
+        query_bert_ids=ids(B, cfg.retriever.query_seq_len),
+        context_bert_ids=ids(B, K, cfg.retriever.seq_len),
+        context_bert_types=jnp.zeros((B, K, cfg.retriever.seq_len), jnp.int32),
+        reader_ids=ids(B, K, cfg.reader.seq_len),
+        reader_one_ctx_ids=ids(B, K, cfg.reader.seq_len),
+        dec_ids=jnp.zeros((B, Ld), jnp.int32),
+        labels=jnp.zeros((B, Ld), jnp.int32),
+        loss_mask=jnp.zeros((B, Ld), jnp.float32),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    session = DecoderSession(model, params, max_decode_len)
+    greedy_decode(session, batch, bos_id=1, eos_id=0)     # compile+warm
+    t0 = time.time()
+    for _ in range(iters):
+        hyps = greedy_decode(session, batch, bos_id=1, eos_id=0)
+    dt = (time.time() - t0) / iters
+    assert len(hyps) == B
+    return {"decode_ms_per_batch": round(dt * 1000, 1),
+            "questions_per_sec_per_chip": round(B / dt, 2)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--n-docs", type=int, default=1_310_720)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--decode", action="store_true",
+                   help="also measure FiD encode + greedy decode latency")
     args = p.parse_args(argv)
 
     import jax
@@ -126,12 +174,15 @@ def main(argv=None):
         post(topk_passage_ids=pids)
     b_ms = (time.time() - t0) / args.iters * 1000
 
-    print(json.dumps({
+    result = {
         "n_docs": args.n_docs, "batch": B, "topk": K,
         "stage_a_retrieve_ms": round(a_ms, 2),
         "stage_b_postprocess_ms": round(b_ms, 2),
         "world_setup_s": round(setup_s, 1),
-    }))
+    }
+    if args.decode:
+        result["decode"] = bench_decode(B, K)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
