@@ -147,15 +147,21 @@ def bench_train_step(B: int = 4, K: int = 50):
     dt = (time.time() - t0) / iters
 
     kind = getattr(jax.devices()[0], "device_kind", "")
-    peak = PEAK_FLOPS.get(kind, 197e12)
-    return {
+    peak = PEAK_FLOPS.get(kind)
+    out = {
         "config": f"B={B} K={K} seq512 flash+remat bf16 (emdr2_nq.sh recipe)",
         "ms_per_step": round(dt * 1000, 1),
         "examples_per_sec_per_chip": round(B / dt, 2),
-        "hw_flops_util": round(flops / dt / peak, 3),
         "hlo_tflops_per_step": round(flops / 1e12, 1),
         "device": kind,
     }
+    if peak is None:
+        # unknown device: report the assumed peak so the utilization number
+        # is interpretable rather than silently wrong
+        peak = 197e12
+        out["unknown_device_assumed_peak_tflops"] = peak / 1e12
+    out["hw_flops_util"] = round(flops / dt / peak, 3)
+    return out
 
 
 def main():

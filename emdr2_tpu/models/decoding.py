@@ -7,12 +7,21 @@ polynomial length normalization applied during search (``lp(n) =
 ended hypothesis's first continuation survives, score frozen, :52-72), and
 EOS stripping with a 1-token fallback (:230-238).
 
-TPU-first difference: the reference re-runs the decoder over the whole
-prefix each step with no KV cache (SURVEY §3.6). Here retrieval + FiD
-encoding happen ONCE, and each decode step is a jitted single-token pass
-over a self-attention KV cache + cached cross-attention K/V. Hypothesis
-bookkeeping (tiny: B*beam rows) runs on host; cache reordering for beam
-continuation is a jitted gather.
+TPU-first differences:
+
+- the reference re-runs the decoder over the whole prefix each step with no
+  KV cache (SURVEY §3.6). Here retrieval + FiD encoding happen ONCE, and
+  decoding runs over a self-attention KV cache + cached cross-attention K/V;
+- BOTH greedy and beam token loops are device-resident ``lax.while_loop``
+  programs — one dispatch + one readback per batch. Beam's hypothesis
+  bookkeeping (top-k over candidates, parent gather, cache reorder, the
+  ended-mask freeze) is all inside the jitted loop, vs the reference's (and
+  this repo's former) one-dispatch-per-token host loop;
+- with a ``mesh``, every session function runs mesh-sharded: eval batches
+  are dp-sharded global arrays (assembled from per-process local rows on
+  multi-host — the analog of the reference evaluating across all trainer
+  ranks, train_e2eqa.py:271-292), and generated tokens come back as a
+  dp-sharded array each process reads its own rows from.
 """
 
 from __future__ import annotations
@@ -32,13 +41,32 @@ def length_penalty(n: int, alpha: float = 0.6) -> float:
     return (5.0 + n) ** alpha / (5.0 + 1.0) ** alpha
 
 
-class DecoderSession:
-    """Holds the jitted encode/step functions and the mutable decode cache."""
+def _take_rows(tree, idx):
+    """Gather rows of every array leaf along axis 0 (cache fan-out/reorder)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.take(x, idx, axis=0) if x.ndim > 0 else x, tree)
 
-    def __init__(self, model: EMDR2Model, params, max_decode_len: int):
+
+class DecoderSession:
+    """Holds the jitted encode/step functions and the mutable decode cache.
+
+    ``mesh``: optional ``jax.sharding.Mesh``. When given, input batches are
+    assembled into dp-sharded global arrays (multi-host aware) and every
+    jitted function computes over the whole mesh; generated token arrays are
+    returned dp-sharded and read back per-process.
+    """
+
+    def __init__(self, model: EMDR2Model, params, max_decode_len: int,
+                 mesh=None):
         self.model = model
         self.params = params
         self.max_decode_len = max_decode_len
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._dp = NamedSharding(mesh, P("dp"))
+        else:
+            self._dp = None
         n_layers = model.config.reader.transformer.num_layers
 
         @jax.jit
@@ -64,23 +92,24 @@ class DecoderSession:
                             + bias)
             return outs
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache, dec_tok, enc_flat_ids, kvs, pos):
+        def decode_lp(params, cache, tok, enc_flat_ids, kvs, pos):
+            """One decoder step -> (log-probs [rows, V] fp32, new cache)."""
             logits, new_vars = model.apply(
                 {"params": params, "cache": cache},
-                dec_tok, None, enc_flat_ids,
+                tok, None, enc_flat_ids,
                 position_offset=pos, cross_kvs=kvs,
                 method=EMDR2Model.decode_step, mutable=["cache"])
             return jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32),
                                       axis=-1), new_vars["cache"]
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, dec_tok, enc_flat_ids, kvs, pos):
+            return decode_lp(params, cache, dec_tok, enc_flat_ids, kvs, pos)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def reorder(cache, parent_idx):
-            return jax.tree_util.tree_map(
-                lambda x: jnp.take(x, parent_idx, axis=0)
-                if x.ndim > 0 else x, cache)
+            return _take_rows(cache, parent_idx)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
         def greedy_loop(params, cache, tok0, enc_flat_ids, kvs,
                         eos_id, max_len=max_decode_len):
             """Device-resident greedy decode: one dispatch per batch.
@@ -100,28 +129,64 @@ class DecoderSession:
 
             def body(st):
                 pos, tok, done, cache, out = st
-                logits, new_vars = model.apply(
-                    {"params": params, "cache": cache},
-                    tok, None, enc_flat_ids,
-                    position_offset=pos, cross_kvs=kvs,
-                    method=EMDR2Model.decode_step, mutable=["cache"])
-                ys = jnp.argmax(logits[:, -1, :].astype(jnp.float32),
-                                axis=-1).astype(jnp.int32)
+                lp, cache = decode_lp(params, cache, tok, enc_flat_ids,
+                                      kvs, pos)
+                ys = jnp.argmax(lp, axis=-1).astype(jnp.int32)
                 out = jax.lax.dynamic_update_slice_in_dim(
                     out, ys[:, None], pos, axis=1)
                 done = done | (ys == eos_id)
-                return pos + 1, ys[:, None], done, new_vars["cache"], out
+                return pos + 1, ys[:, None], done, cache, out
 
             _, _, _, _, out = jax.lax.while_loop(
                 cond, body, (0, tok0, done0, cache, out0))
             return out
 
         self._encode, self._cross_kvs = encode, cross_kvs
+        self._decode_lp = decode_lp
         self._step, self._reorder = step, reorder
-        self._greedy_loop = greedy_loop
+        # explicit dp out-sharding under a mesh: generated tokens come back
+        # as a dp-sharded global array each process reads its rows from
+        self._greedy_loop = jax.jit(
+            greedy_loop, donate_argnums=(1,),
+            **({"out_shardings": self._dp} if self._dp is not None else {}))
+        self._beam_loops = {}
+
+    # --------------------------------------------------------- mesh plumbing
+
+    def _globalize(self, batch: EMDR2Batch) -> EMDR2Batch:
+        """Local rows -> dp-sharded global arrays (identity without a mesh)."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, batch)
+        from emdr2_tpu.parallel.distributed import make_global_batch
+        if jax.process_count() > 1:  # local host rows for the assembly
+            batch = jax.tree_util.tree_map(np.asarray, batch)
+        return make_global_batch(self.mesh, batch)
+
+    def _tok0(self, global_rows: int, bos_id: int):
+        """[B, 1] BOS column, dp-sharded under a mesh (each process provides
+        its rows on multi-host)."""
+        if self.mesh is None:
+            return jnp.full((global_rows, 1), bos_id, jnp.int32)
+        from emdr2_tpu.parallel.distributed import make_global_array
+        local = global_rows // jax.process_count()
+        return make_global_array(
+            self.mesh, np.full((local, 1), bos_id, np.int32))
+
+    def _readback(self, out) -> np.ndarray:
+        """Generated-token array -> this process's rows."""
+        if self.mesh is None:
+            return np.asarray(out)
+        from emdr2_tpu.parallel.distributed import host_local_rows
+        return host_local_rows(out)
+
+    # ------------------------------------------------------------- frontend
 
     def encode(self, batch: EMDR2Batch):
-        """Retrieval scores + FiD encoder states + per-layer cross K/V."""
+        """Retrieval scores + FiD encoder states + per-layer cross K/V.
+
+        ``batch`` holds this process's local rows; under a mesh they are
+        assembled into dp-sharded global arrays first."""
+        batch = self._globalize(batch)
         topk_lp, enc_hidden, enc_flat_ids = self._encode(self.params, batch)
         kvs = self._cross_kvs(self.params, enc_hidden)
         return topk_lp, kvs, enc_flat_ids
@@ -131,14 +196,14 @@ class DecoderSession:
 
         Jitted (cached per batch size): un-jitted ``model.init`` executes
         op-by-op, which costs a dispatch round-trip per op on a remote
-        device — measured seconds per eval batch through the tunnel."""
+        device — measured seconds per eval batch through the tunnel. Under a
+        mesh the cache comes out dp-sharded (out_shardings from eval_shape)."""
         key = ("init_cache", batch_rows)
         if not hasattr(self, "_init_fns"):
             self._init_fns = {}
         if key not in self._init_fns:
             model = self.model
 
-            @jax.jit
             def init_fn(enc_flat_ids, kvs):
                 dec_tok = jnp.zeros((batch_rows, 1), jnp.int32)
                 variables = model.init(
@@ -146,7 +211,15 @@ class DecoderSession:
                     enc_flat_ids, 0, kvs, method=EMDR2Model.decode_step)
                 return variables["cache"]
 
-            self._init_fns[key] = init_fn
+            if self.mesh is None:
+                self._init_fns[key] = jax.jit(init_fn)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                shapes = jax.eval_shape(init_fn, enc_flat_ids, kvs)
+                out_sh = jax.tree_util.tree_map(
+                    lambda s: self._dp if s.ndim > 0 else repl, shapes)
+                self._init_fns[key] = jax.jit(init_fn, out_shardings=out_sh)
         return self._init_fns[key](enc_flat_ids, kvs)
 
     def step(self, cache, dec_tok, kvs, enc_flat_ids, pos: int):
@@ -155,6 +228,94 @@ class DecoderSession:
 
     def reorder(self, cache, parent_idx):
         return self._reorder(cache, jnp.asarray(parent_idx, jnp.int32))
+
+    def beam_loop(self, beam_size: int, alpha: float):
+        """Jitted device-resident beam search loop (cached per (k, alpha))."""
+        key = (beam_size, alpha)
+        if key not in self._beam_loops:
+            self._beam_loops[key] = self._make_beam_loop(beam_size, alpha)
+        return self._beam_loops[key]
+
+    def _make_beam_loop(self, k: int, alpha: float):
+        decode_lp = self._decode_lp
+        max_len = self.max_decode_len
+
+        def lp_poly(n):
+            # jnp-traced polynomial length normalization (lp above)
+            return ((5.0 + n) / 6.0) ** alpha
+
+        def beam_loop(params, cache, tok0, enc_flat_ids, kvs, eos_id):
+            """Length-normalized beam search fully on device, parity with
+            BeamSearch (search_strategy.py:124-178): the per-token top-k,
+            ended-hypothesis freezing (score frozen, only the first
+            continuation survives via a -1e4 bias, :52-72), parent gather
+            and KV-cache reorder all run inside one lax.while_loop.
+
+            Step 0 runs on B rows and fans out to B*k; later steps run B*k
+            rows. ``total`` holds the length-NORMALIZED running score; each
+            step un-normalizes by lp(len-1), adds the token log-prob, and
+            re-normalizes by lp(len) — algebraically identical to the
+            reference's normalize-at-selection."""
+            B = tok0.shape[0]
+
+            # ---- step 0 on B rows, fan out B -> B*k -------------------
+            lp0, cache = decode_lp(params, cache, tok0, enc_flat_ids, kvs, 0)
+            top_sc, top_idx = jax.lax.top_k(lp0, k)          # [B, k]
+            rep = jnp.repeat(jnp.arange(B), k)
+            cache = _take_rows(cache, rep)
+            kvs_k = [jnp.repeat(x, k, axis=0) for x in kvs]
+            enc_k = jnp.repeat(enc_flat_ids, k, axis=0)
+
+            seqs0 = jnp.zeros((B * k, max_len), jnp.int32)
+            seqs0 = seqs0.at[:, 0].set(top_idx.reshape(-1))
+            total0 = top_sc.reshape(-1)                      # lp(1) == 1
+            ended0 = seqs0[:, 0] == eos_id
+
+            def cond(st):
+                pos, _seqs, _total, ended, _cache = st
+                return (pos < max_len) & ~jnp.all(ended)
+
+            def body(st):
+                pos, seqs, total, ended, cache = st
+                tok = jax.lax.dynamic_slice_in_dim(seqs, pos - 1, 1, axis=1)
+                lp, cache = decode_lp(params, cache, tok, enc_k, kvs_k, pos)
+                cand_lp, cand_idx = jax.lax.top_k(lp, k)     # [B*k, k]
+
+                new_len = (pos + 1).astype(jnp.float32)
+                norm = (total[:, None] * lp_poly(new_len - 1.0)
+                        + cand_lp) / lp_poly(new_len)
+                frozen = total[:, None] + jnp.where(
+                    jnp.arange(k)[None, :] == 0, 0.0, -1e4)
+                scores = jnp.where(ended[:, None], frozen, norm)
+                cand_tok = jnp.where(ended[:, None], eos_id, cand_idx)
+
+                scores2 = scores.reshape(B, k * k)
+                best_sc, best = jax.lax.top_k(scores2, k)    # [B, k]
+                total = best_sc.reshape(-1)
+                parent = (best // k
+                          + jnp.arange(B)[:, None] * k).reshape(-1)
+                chosen = jnp.take_along_axis(
+                    cand_tok.reshape(B, k * k), best, axis=1).reshape(-1)
+
+                seqs = jnp.take(seqs, parent, axis=0)
+                seqs = jax.lax.dynamic_update_slice_in_dim(
+                    seqs, chosen[:, None].astype(jnp.int32), pos, axis=1)
+                ended = jnp.take(ended, parent, axis=0) | (chosen == eos_id)
+                cache = _take_rows(cache, parent)
+                return pos + 1, seqs, total, ended, cache
+
+            _, seqs, total, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(1), seqs0, total0, ended0, cache))
+
+            # ---- best hypothesis per example (finish_beam, :103-121) ----
+            best_row = jnp.argmax(total.reshape(B, k), axis=1)
+            seqs3 = seqs.reshape(B, k, max_len)
+            return jnp.take_along_axis(
+                seqs3, best_row[:, None, None], axis=1)[:, 0]
+
+        return jax.jit(
+            beam_loop, donate_argnums=(1,),
+            **({"out_shardings": self._dp} if self._dp is not None else {}))
 
 
 def _strip_eos(rows: np.ndarray, eos_id: int) -> List[List[int]]:
@@ -172,21 +333,24 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
                   bos_id: int, eos_id: int,
                   rng: Optional[jax.Array] = None,
                   sample: bool = False) -> List[List[int]]:
-    """Greedy (or multinomial-sampling) generation.
+    """Greedy (or multinomial-sampling) generation for this process's rows
+    of ``batch``.
 
     Greedy runs the whole token loop on device (one dispatch + one readback
-    per batch); sampling keeps the host loop for rng bookkeeping."""
-    B = batch.dec_ids.shape[0]
+    per batch); sampling keeps the host loop for rng bookkeeping
+    (single-host only)."""
     _, kvs, enc_flat_ids = session.encode(batch)
+    B = enc_flat_ids.shape[0]  # global rows
     cache = session.init_cache(B, kvs, enc_flat_ids)
 
-    tok = np.full((B, 1), bos_id, np.int32)
     if not sample:
         out = session._greedy_loop(session.params, cache,
-                                   jnp.asarray(tok), enc_flat_ids, kvs,
-                                   jnp.asarray(eos_id, jnp.int32))
-        return _strip_eos(np.asarray(out), eos_id)
+                                   session._tok0(B, bos_id), enc_flat_ids,
+                                   kvs, jnp.asarray(eos_id, jnp.int32))
+        return _strip_eos(session._readback(out), eos_id)
 
+    assert jax.process_count() == 1, "sampling decode is single-host only"
+    tok = np.full((B, 1), bos_id, np.int32)
     done = np.zeros(B, bool)
     result = []
     for pos in range(session.max_decode_len):
@@ -204,69 +368,17 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
 def beam_search_decode(session: DecoderSession, batch: EMDR2Batch,
                        bos_id: int, eos_id: int, beam_size: int = 5,
                        alpha: float = 0.6) -> List[List[int]]:
-    """Length-normalized beam search, parity with BeamSearch
-    (search_strategy.py:124-178).
+    """Length-normalized beam search for this process's rows of ``batch``,
+    parity with BeamSearch (search_strategy.py:124-178).
 
-    Step 1 runs on B rows and fans out to B*beam; later steps run B*beam
-    rows with the decode cache gathered along the beam-parent index (the
-    reference re-encodes/gathers full hidden-state tensors instead,
-    :87-100)."""
-    B = batch.dec_ids.shape[0]
-    k = beam_size
+    The whole search — including step 0's B -> B*beam fan-out — runs in one
+    jitted device-resident loop (``DecoderSession._make_beam_loop``); the
+    reference re-encodes/gathers full hidden-state tensors on host every
+    token (:87-100)."""
     _, kvs, enc_flat_ids = session.encode(batch)
-
-    # ---- step 0 on B rows ----------------------------------------------------
+    B = enc_flat_ids.shape[0]  # global rows
     cache = session.init_cache(B, kvs, enc_flat_ids)
-    tok = np.full((B, 1), bos_id, np.int32)
-    log_probs, cache = session.step(cache, tok, kvs, enc_flat_ids, 0)
-    lp = np.asarray(log_probs)                       # [B, V]
-    topk_idx = np.argsort(-lp, axis=1)[:, :k]        # [B, k]
-    topk_score = np.take_along_axis(lp, topk_idx, axis=1)
-
-    # fan out rows B -> B*k (replicate encoder-side tensors and cache rows)
-    rep = np.repeat(np.arange(B), k)
-    kvs_k = [jnp.repeat(x, k, axis=0) for x in kvs]
-    enc_flat_k = jnp.repeat(enc_flat_ids, k, axis=0)
-    cache = session.reorder(cache, rep)
-
-    seqs = topk_idx.reshape(-1, 1)                   # [B*k, 1]
-    total = topk_score.reshape(-1).astype(np.float64)  # raw scores so far
-    ended = seqs[:, -1] == eos_id
-
-    for pos in range(1, session.max_decode_len):
-        if ended.all():
-            break
-        tok = seqs[:, -1:].astype(np.int32)
-        log_probs, cache = session.step(cache, tok, kvs_k, enc_flat_k, pos)
-        lp = np.asarray(log_probs)                   # [B*k, V]
-        cand_idx = np.argsort(-lp, axis=1)[:, :k]    # [B*k, k]
-        cand_lp = np.take_along_axis(lp, cand_idx, axis=1)
-
-        # ended hypotheses: freeze score, allow only the first continuation
-        # (bias -1e4 on the rest), force token to EOS (:52-72)
-        new_len = seqs.shape[1] + 1
-        norm = (total[:, None] * length_penalty(new_len - 1, alpha)
-                + cand_lp) / length_penalty(new_len, alpha)
-        frozen = total[:, None] + np.where(
-            np.arange(k)[None, :] == 0, 0.0, -1e4)
-        scores = np.where(ended[:, None], frozen, norm)  # [B*k, k]
-        cand_tok = np.where(ended[:, None], eos_id, cand_idx)
-
-        scores = scores.reshape(B, k * k)
-        best = np.argsort(-scores, axis=1)[:, :k]    # [B, k]
-        total = np.take_along_axis(scores, best, axis=1).reshape(-1)
-        parent = best // k + np.arange(B)[:, None] * k   # global row of parent
-        parent = parent.reshape(-1)
-        chosen_tok = np.take_along_axis(
-            cand_tok.reshape(B, k * k), best, axis=1).reshape(-1)
-
-        seqs = np.concatenate(
-            [seqs[parent], chosen_tok[:, None]], axis=1)
-        ended = ended[parent] | (chosen_tok == eos_id)
-        cache = session.reorder(cache, parent)
-
-    # ---- finish: best hypothesis per example (finish_beam, :103-121) --------
-    total = total.reshape(B, k)
-    best_rows = np.asarray([
-        seqs.reshape(B, k, -1)[b, int(np.argmax(total[b]))] for b in range(B)])
-    return _strip_eos(best_rows, eos_id)
+    out = session.beam_loop(beam_size, alpha)(
+        session.params, cache, session._tok0(B, bos_id), enc_flat_ids, kvs,
+        jnp.asarray(eos_id, jnp.int32))
+    return _strip_eos(session._readback(out), eos_id)

@@ -217,7 +217,13 @@ def _pick_block_bh(nh: int, Lq: int, chunk: int, hd: int, itemsize: int,
         temp = n_temps * Lq * chunk * 4
         if per + temp <= _VMEM_BUDGET:
             return bh
-    return 1
+    # even a single head doesn't fit: fail with a shape-contract message
+    # instead of an opaque Mosaic allocation error
+    raise ValueError(
+        f"flash-attention working set for one head (Lq={Lq}, "
+        f"key_chunk={chunk}, hd={hd}) exceeds the VMEM budget "
+        f"({_VMEM_BUDGET} B); reduce the key chunk (cfg.flash_key_chunk) "
+        f"or fall back to materialized attention")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

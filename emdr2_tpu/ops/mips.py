@@ -252,6 +252,7 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
               exact: bool = False, chunk_rows: int = 8192,
               group_size: int = 128, query_tile: int = 512,
               cands_per_group: int = 2,
+              n_valid=None,
               interpret: Optional[bool] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner-product search of ``queries`` [nq, d] against a local
@@ -262,6 +263,14 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     expected misses ~ C(k,3)(G/N)^2 < 1e-4 per query at k=51, N=1.3M (vs
     ~2e-2 relative recall loss for top-1). Set 1 for the fastest variant.
 
+    ``n_valid`` (int or traced int32 scalar): treat rows >= n_valid as
+    invalid (-inf). Callers whose shard carries zero-padded tail rows
+    beyond the kernel's own alignment padding (ShardedEvidenceIndex) pass
+    the real row count so pad rows can never displace real candidates from
+    the in-kernel group selection — a recall loss when true top-k scores
+    are negative. Costs the ~8% iota+where mask, so pass it only when the
+    shard actually has such rows.
+
     Designed to be called inside jit/shard_map. Pads nq, N and d as needed;
     padding never changes results (zero-padded d contributes 0 to dots,
     padded rows score -inf).
@@ -270,7 +279,10 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     n, d2 = shard.shape
     assert d == d2, (queries.shape, shard.shape)
     if exact or n <= chunk_rows:
-        return exact_topk(queries, shard, k)
+        vals, idx = exact_topk(queries, shard, k)
+        if n_valid is not None:
+            vals = jnp.where(idx < n_valid, vals, NEG_INF)
+        return vals, idx
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -298,9 +310,12 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     if n_pad != n:
         shard = jnp.pad(shard, ((0, n_pad - n), (0, 0)))
 
+    masked = (n_pad != n) if n_valid is None else True
+    nv = n if n_valid is None else jnp.minimum(
+        jnp.asarray(n_valid, jnp.int32), n)
     cand_vals, cand_idx = _candidate_scan(
-        q, shard, n, chunk_rows, group_size, query_tile, interpret,
-        cands_per_group=cands_per_group, masked=n_pad != n)
+        q, shard, nv, chunk_rows, group_size, query_tile, interpret,
+        cands_per_group=cands_per_group, masked=masked)
 
     vals, pos = jax.lax.top_k(cand_vals, k)          # [nq_pad, k]
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -99,33 +98,65 @@ class EvidenceIndexBuilder:
         return self._embed_fn(params, ids, types)
 
     def embed_corpus(self, params,
-                     progress: Optional[Callable[[int, int], None]] = None
-                     ) -> np.ndarray:
-        """Embed every passage; returns [N, d] fp16 host array ordered by
-        doc id (row i = doc_id i+1), with full-coverage guaranteed by
-        construction (the reference asserts it, indexer_emdr2.py:107-110)."""
-        assert jax.process_count() == 1, (
-            "embed_corpus gathers the full matrix to one host; multi-host "
-            "index refresh needs per-host shard assembly (planned) — run "
-            "the embedder on a single-host sub-mesh for now")
+                     progress: Optional[Callable[[int, int], None]] = None,
+                     row_partition: Optional[tuple] = None) -> np.ndarray:
+        """Embed passages with the context tower; rows ordered by doc id
+        (row i = doc_id i+1), full coverage by construction (the reference
+        asserts it, indexer_emdr2.py:107-110).
+
+        Single-process (``row_partition=None``): returns the full [N, d]
+        fp16 host array.
+
+        Multi-host (``row_partition=(start, stop)``, 0-based rows — the
+        refresher passes ``ShardedEvidenceIndex.process_row_range()``): this
+        process embeds ONLY rows [start, stop) and returns that [stop-start,
+        d] block. Every process must pass an equal-sized partition so the
+        globally-jitted embed steps stay in lockstep; rows >= len(corpus)
+        (index tail padding) come back zeroed. Replaces the reference's
+        per-rank pickle shards + rank-0 merge (indexer_emdr2.py:77-114) with
+        per-host blocks the index swaps in without any gather.
+        """
+        procs = jax.process_count()
         n = len(self.corpus)
+        if row_partition is None:
+            assert procs == 1, (
+                "multi-host embed_corpus needs row_partition= — pass "
+                "index.process_row_range() so each host assembles only its "
+                "own index-shard rows")
+            start_g, stop_g = 0, n
+        else:
+            start_g, stop_g = row_partition
+        n_local = stop_g - start_g
         d = self.cfg.index.embed_dim
-        out = np.zeros((n, d), np.float16)
-        bs = self.batch_size
+        out = np.zeros((n_local, d), np.float16)
+        per = self.batch_size // procs   # this process's rows per step
         # commit the params to this builder's mesh once (host snapshots and
         # cross-mesh arrays alike); per-batch _embed calls then reuse them
         params = self.place_params(params)
-        for start in range(0, n, bs):
-            stop = min(start + bs, n)
-            doc_ids = np.arange(start + 1, stop + 1)
-            if stop - start < bs:  # pad tail batch to keep shapes static
+        from emdr2_tpu.parallel.distributed import (host_local_rows,
+                                                    make_global_array)
+        from jax.sharding import PartitionSpec as P
+        steps = -(-n_local // per) if n_local else 0
+        for s in range(steps):
+            lo = start_g + s * per
+            hi = min(lo + per, stop_g)
+            doc_ids = np.arange(lo + 1, hi + 1)
+            if hi - lo < per:  # pad tail batch to keep shapes static
                 doc_ids = np.concatenate(
-                    [doc_ids, np.full(bs - (stop - start), stop, np.int64)])
+                    [doc_ids, np.full(per - (hi - lo), max(hi, 1), np.int64)])
+            # rows past the corpus (index tail padding) embed doc n instead
+            # and are zeroed below — the index masks them regardless
+            doc_ids = np.clip(doc_ids, 1, n)
             ids, types = self._format_rows(doc_ids)
-            emb = self._embed(params, jnp.asarray(ids), jnp.asarray(types))
-            out[start:stop] = np.asarray(emb)[: stop - start].astype(np.float16)
+            ids_g = make_global_array(self.mesh, ids, P("dp"))
+            types_g = make_global_array(self.mesh, types, P("dp"))
+            emb = host_local_rows(self._embed(params, ids_g, types_g))
+            take = min(hi, n) - lo  # real-corpus rows only (global rows < n)
+            if take > 0:
+                out[lo - start_g: lo - start_g + take] = (
+                    emb[:take].astype(np.float16))
             if progress is not None:
-                progress(stop, n)
+                progress(hi - start_g, n_local)
         return out
 
     def build_store(self, params, path: Optional[str] = None) -> EmbeddingStore:

@@ -97,6 +97,55 @@ class ShardedEvidenceIndex:
             self.row_to_passage_id = passage_ids
         old.delete()
 
+    def process_row_range(self) -> Tuple[int, int]:
+        """This process's contiguous [start, stop) slice of the PADDED index
+        row space. Mesh axes flatten row-major over ``jax.devices()`` (which
+        orders devices by owning process), so each process's addressable
+        shards cover one contiguous block of rows; equal-sized across
+        processes by construction (n_padded divides evenly over devices)."""
+        procs = jax.process_count()
+        assert self.n_padded % procs == 0
+        rows = self.n_padded // procs
+        p = jax.process_index()
+        return p * rows, (p + 1) * rows
+
+    def update_from_process_local(self, local_rows: np.ndarray,
+                                  passage_ids: Optional[np.ndarray] = None
+                                  ) -> None:
+        """Hot-swap from per-process row blocks: each process passes ONLY
+        the rows of its ``process_row_range()`` (what its local devices
+        hold) and no cross-host traffic happens at all — the multi-host
+        refresh path replacing the reference's rank-0 pickle merge +
+        re-shard cycle (indexer_emdr2.py:107-114, emdr2_index.py:232-266).
+        Accepts either the full padded block or the block truncated at
+        n_real (the builder's real-corpus rows); missing tail rows are
+        zero-filled (they are masked in search via n_valid)."""
+        start, stop = self.process_row_range()
+        d = self.cfg.embed_dim
+        assert local_rows.shape[1] == d
+        assert local_rows.shape[0] <= stop - start
+        dtype = self.cfg.dtype
+
+        def shard_cb(index):
+            rows = index[0]
+            s = rows.start or 0
+            e = rows.stop if rows.stop is not None else self.n_padded
+            assert start <= s and e <= stop, (
+                "addressable shard outside this process's row range — "
+                "device order is not process-contiguous")
+            block = np.zeros((e - s, d), np.float32)
+            have = min(e, start + local_rows.shape[0]) - s
+            if have > 0:
+                block[:have] = local_rows[s - start: s - start + have]
+            return jnp.asarray(block, dtype)
+
+        old = self.embeddings
+        self.embeddings = jax.make_array_from_callback(
+            (self.n_padded, d), self._sharding, shard_cb)
+        if passage_ids is not None:
+            self.row_to_passage_id = passage_ids
+        old.delete()
+
     def swap_device_array(self, new_embeddings: jax.Array) -> None:
         """Swap in an already-on-device (correctly sharded) matrix — the
         zero-copy path used by the async embedder sub-mesh."""
@@ -116,6 +165,7 @@ class ShardedEvidenceIndex:
         shard_rows = self.shard_rows
         interpret = jax.default_backend() == "cpu"
         n_real = self.n_real
+        n_padded = self.n_padded
 
         def local_search(q_local, shard_local):
             # flattened device rank in row-major (dp, tp) order
@@ -125,13 +175,18 @@ class ShardedEvidenceIndex:
                 q_all = jax.lax.all_gather(q_local, dp_axis, tiled=True)
             else:
                 q_all = q_local
-            # rows past n_real are zero-padding: give them -inf via n_valid
+            # rows past n_real are zero-padding: mask them in-kernel via
+            # n_valid (per-rank real row count) so they can never displace
+            # real candidates from the group selection; skipped (None) when
+            # the index has no tail padding to avoid the mask's ~8% cost
+            n_valid = (jnp.clip(n_real - rank * shard_rows, 0, shard_rows)
+                       if n_padded != n_real else None)
             vals, idx = mips_topk(
                 q_all, shard_local, k, exact=cfg.exact,
                 chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
                 query_tile=cfg.query_tile,
                 cands_per_group=getattr(cfg, "cands_per_group", 2),
-                interpret=interpret)
+                n_valid=n_valid, interpret=interpret)
             idx = idx + rank * shard_rows
             # guard padded rows (zero vectors can outscore negatives):
             vals = jnp.where(idx < n_real, vals, -3.0e38)

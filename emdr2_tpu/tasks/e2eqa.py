@@ -197,19 +197,36 @@ class E2EQATask:
     def validation_loss(self, dataset, batch_size: Optional[int] = None,
                         max_batches: Optional[int] = None) -> Dict[str, float]:
         """Deterministic forward losses over a dataset (the reference's
-        ``validation_loss``, train_e2eqa.py:300-336 / training.py:324-377)."""
+        ``validation_loss``, train_e2eqa.py:300-336 / training.py:324-377).
+
+        Multi-host aware: every process iterates the same global batch
+        sequence, feeds only its contiguous slice, and the mesh-sharded
+        forward reduces to identical replicated metrics everywhere."""
+        from emdr2_tpu.parallel.distributed import make_global_batch
         batch_size = batch_size or self.global_batch_size
-        assert jax.process_count() == 1, "validation_loss is single-host only"
+        procs, rank = jax.process_count(), jax.process_index()
+        per = batch_size // procs
         if "eval_forward" not in self._jitted:
-            self._jitted["eval_forward"] = jax.jit(step_lib.make_eval_forward(
-                self.model, self.cfg, eos_id=self.tok.eos_id))
+            dp = NamedSharding(self.mesh, P("dp"))
+            batch_sh = jax.tree_util.tree_map(
+                lambda _: dp, self._sample_device_batch(1))
+            repl = NamedSharding(self.mesh, P())
+            self._jitted["eval_forward"] = jax.jit(
+                step_lib.make_eval_forward(self.model, self.cfg,
+                                           eos_id=self.tok.eos_id),
+                in_shardings=(self.param_sharding, batch_sh),
+                out_shardings={k: repl for k in
+                               ("loss", "lm_loss", "retriever_loss")})
         totals: Dict[str, float] = {}
         n = 0
         for bi, batch in enumerate(dataset.epoch_batches(
                 batch_size, seed=0, shuffle=False, drop_last=True)):
             if max_batches is not None and bi >= max_batches:
                 break
-            device_batch = self.build_device_batch(batch)
+            local = (_slice_qa_batch(batch, rank * per, (rank + 1) * per)
+                     if procs > 1 else batch)
+            device_batch = make_global_batch(
+                self.mesh, self.build_device_batch(local))
             m = self._jitted["eval_forward"](self.state, device_batch)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -223,41 +240,49 @@ class E2EQATask:
 
         Parity with ``reader_em_score`` (train_e2eqa.py:217-292): greedy when
         beam_size==1, else length-normalized beam search; per-uid dedupe of
-        sampler padding duplicates; returns (EM percentage, n examples).
+        padding duplicates; returns (EM percentage, n examples).
+
+        Multi-host (the reference evaluates across all trainer ranks and
+        merges with an all_gather + per-uid dedupe, train_e2eqa.py:271-292):
+        every process iterates the same padded global batch sequence, decodes
+        its contiguous slice on the shared mesh, scores its rows on host,
+        and per-uid (uid, score) pairs are allgathered + deduped at the end.
         """
         from emdr2_tpu.models.decoding import (
             DecoderSession, beam_search_decode, greedy_decode)
         from emdr2_tpu.utils.metrics import (
             exact_match_score, metric_max_over_ground_truths)
 
-        assert jax.process_count() == 1, (
-            "evaluate_em is single-host only: run --eval-only from a "
-            "checkpoint on one host (training itself is multi-host capable)")
-
         cfg = self.cfg
         batch_size = batch_size or self.global_batch_size
+        procs, rank = jax.process_count(), jax.process_index()
+        per = batch_size // procs
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # cache the session: its jitted fns must be reused across eval calls
         # or every eval recompiles the decoder
         key = ("decoder_session", max_decode_len)
         if key not in self._jitted:
             self._jitted[key] = DecoderSession(
-                self.model, self.state.params, max_decode_len)
+                self.model, self.state.params, max_decode_len,
+                mesh=self.mesh)
         session = self._jitted[key]
         session.params = self.state.params  # fresh weights, same jit cache
 
-        scores: Dict[int, float] = {}
+        row_uids: list = []
+        row_scores: list = []
         for bi, batch in enumerate(dataset.epoch_batches(
                 batch_size, seed=0, shuffle=False, drop_last=False)):
             if max_batches is not None and bi >= max_batches:
                 break
             if len(batch.query_uid) < batch_size:
                 # Pad the tail batch with duplicate rows so jitted shapes stay
-                # static, then rely on the per-uid score dict to dedupe — the
+                # static, then rely on the per-uid score dedupe — the
                 # reference does the same with sampler padding duplicates and
                 # an all_gather+uid dedupe (train_e2eqa.py:271-292).
                 batch = _pad_qa_batch(batch, batch_size)
-            device_batch = self.build_device_batch(batch)
+            local = (_slice_qa_batch(batch, rank * per, (rank + 1) * per)
+                     if procs > 1 else batch)
+            device_batch = self.build_device_batch(local)
             if beam_size == 1:
                 hyps = greedy_decode(session, device_batch,
                                      self.tok.bos_id, self.tok.eos_id)
@@ -265,13 +290,33 @@ class E2EQATask:
                 hyps = beam_search_decode(session, device_batch,
                                           self.tok.bos_id, self.tok.eos_id,
                                           beam_size=beam_size)
-            for uid, refs, hyp in zip(batch.query_uid.tolist(),
-                                      batch.references, hyps):
+            for uid, refs, hyp in zip(local.query_uid.tolist(),
+                                      local.references, hyps):
                 text = self.tok.detokenize(hyp).strip()
-                scores[uid] = metric_max_over_ground_truths(
-                    exact_match_score, text, refs)
+                row_uids.append(uid)
+                row_scores.append(metric_max_over_ground_truths(
+                    exact_match_score, text, refs))
+        if procs > 1:
+            # allgather the raw per-ROW records (equal counts everywhere by
+            # construction: same batch sequence, ``per`` rows each) and
+            # dedupe by uid afterwards — padding duplicates land on
+            # arbitrary processes, so per-process unique counts differ
+            from jax.experimental import multihost_utils
+            row_uids = multihost_utils.process_allgather(
+                np.asarray(row_uids, np.int64)).reshape(-1).tolist()
+            row_scores = multihost_utils.process_allgather(
+                np.asarray(row_scores, np.float32)).reshape(-1).tolist()
+        scores: Dict[int, float] = dict(zip(row_uids, row_scores))
         n = len(scores)
         return (100.0 * sum(scores.values()) / max(n, 1)), n
+
+
+def _slice_qa_batch(batch: QABatch, start: int, stop: int) -> QABatch:
+    """This process's contiguous rows of a global batch (the eval analog of
+    ``DistributedBatchSampler`` contiguous slicing)."""
+    return QABatch(*[
+        f[start:stop] if isinstance(f, np.ndarray) else list(f)[start:stop]
+        for f in batch])
 
 
 def _pad_qa_batch(batch: QABatch, batch_size: int) -> QABatch:

@@ -99,11 +99,14 @@ def run_openqa(args, cfg) -> int:
         params = jax.device_put(params, task.param_sharding.params)
         task.state = task.state._replace(params=params)
 
+    from emdr2_tpu.parallel.distributed import is_coordinator
+
     if getattr(args, "eval_only", False):
         assert valid_ds is not None, "--eval-only needs --valid-data"
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len)
-        print(f" eval-only | EM {em:.2f} over {n}")
+        if is_coordinator():
+            print(f" eval-only | EM {em:.2f} over {n}")
         return 0
 
     refresher = None
@@ -117,10 +120,13 @@ def run_openqa(args, cfg) -> int:
             builder, index, reload_interval=cfg.train.index_reload_interval)
 
     def eval_cb(iteration):
+        # collective: every process participates in the mesh-sharded decode
+        # (engine.train invokes the callback on all processes in lockstep)
         if valid_ds is not None:
             em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                      max_decode_len=args.max_decode_len)
-            print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
+            if is_coordinator():
+                print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
 
     final = engine.train(task, train_ds, cfg, refresher=refresher,
                          save_dir=args.save, eval_callback=eval_cb,
@@ -129,5 +135,6 @@ def run_openqa(args, cfg) -> int:
     if valid_ds is not None:
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len)
-        print(f" final ({final} iters) | valid EM {em:.2f} over {n}")
+        if is_coordinator():
+            print(f" final ({final} iters) | valid EM {em:.2f} over {n}")
     return 0

@@ -101,7 +101,12 @@ class AsyncIndexRefresher:
             emb, self._result = self._result, None
         if emb is None:
             return False
-        self.index.update(emb)
+        if jax.process_count() > 1:
+            # emb holds only this process's index-shard rows — swapped in
+            # with zero cross-host traffic
+            self.index.update_from_process_local(emb)
+        else:
+            self.index.update(emb)
         self._last_reload_step = step
         self.refresh_count += 1
         self._publish_weights(params)
@@ -140,7 +145,17 @@ class AsyncIndexRefresher:
                     return
                 self._weights_ready.clear()
                 params = self._weights
-                emb = self.builder.embed_corpus(params)
+                # multi-host: each process embeds only its own index-shard
+                # row range (lockstep globally-jitted steps). NOTE: the
+                # async thread issues mesh collectives; on multi-host the
+                # trainer must not race its own collectives against them —
+                # use a disjoint embedder sub-mesh or SynchronousRefresher.
+                if jax.process_count() > 1:
+                    emb = self.builder.embed_corpus(
+                        params,
+                        row_partition=self.index.process_row_range())
+                else:
+                    emb = self.builder.embed_corpus(params)
                 with self._result_lock:
                     self._result = emb
                 # wait for the next weight drop (reference: blocking wait on
@@ -170,8 +185,14 @@ class SynchronousRefresher:
     def maybe_swap(self, step: int, params) -> bool:
         if step - self._last_reload_step < self.reload_interval:
             return False
-        emb = self.builder.embed_corpus(self.extract(params))
-        self.index.update(emb)
+        if jax.process_count() > 1:
+            emb = self.builder.embed_corpus(
+                self.extract(params),
+                row_partition=self.index.process_row_range())
+            self.index.update_from_process_local(emb)
+        else:
+            emb = self.builder.embed_corpus(self.extract(params))
+            self.index.update(emb)
         self._last_reload_step = step
         self.refresh_count += 1
         return True

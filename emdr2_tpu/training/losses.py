@@ -94,8 +94,9 @@ def kl_div_retriever_loss(gold_log_probs: jnp.ndarray,
     gold_log_probs = gold_log_probs.astype(jnp.float32)
     topk_log_probs = topk_log_probs.astype(jnp.float32)
     # [B, K]
+    denom = jnp.maximum(jnp.sum(loss_mask, axis=1), 1.0)  # all-masked row -> 0
     teacher_scores = (jnp.sum(gold_log_probs * loss_mask[:, None, :], axis=2)
-                      / jnp.sum(loss_mask, axis=1)[:, None])
+                      / denom[:, None])
     teacher_probs = jax.nn.softmax(teacher_scores, axis=1)
     teacher_log_probs = jax.nn.log_softmax(teacher_scores, axis=1)
     kl = jnp.sum(teacher_probs * (teacher_log_probs - topk_log_probs), axis=1)

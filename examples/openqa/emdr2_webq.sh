@@ -27,6 +27,6 @@ python -m emdr2_tpu.tasks.run \
     --retriever-score-scaling --update-retriever --allow-trivial-doc \
     --async-indexer --index-reload-interval 500 \
     --embed-devices "${EMBED_DEVICES:-12}" \
-    --fid-flash-attention --remat \
+    --fid-flash-attention --remat --prefetch-depth 1 \
     --log-interval 20 --save-interval 500 --eval-interval 500 \
     --max-decode-len 32 "$@"

@@ -24,6 +24,7 @@ jax.config.update("jax_threefry_partitionable", True)
 def main() -> None:
     pid, nproc, coord, tmpdir = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=nproc, process_id=pid)
     sys.path.insert(0, "/root/repo")
@@ -50,12 +51,39 @@ def main() -> None:
     task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
     task.init_state(jax.random.PRNGKey(0), total)
 
+    if mode == "refresh":
+        # multi-host index refresh: each process embeds + swaps ONLY its own
+        # index-shard row range; verified by searching the post-swap index
+        from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+        builder = EvidenceIndexBuilder(
+            cfg, mesh, task.model, corpus, tok.cls_id, tok.sep_id,
+            tok.pad_id, batch_size=16)
+        part = index.process_row_range()
+        emb_local = builder.embed_corpus(task.state.params,
+                                         row_partition=part)
+        index.update_from_process_local(emb_local)
+        vals, rows = index.search(
+            np.random.RandomState(7).randn(
+                8, cfg.index.embed_dim).astype(np.float32), k=5)
+        print("ROWS " + " ".join(
+            map(str, np.asarray(rows).reshape(-1).tolist())), flush=True)
+        print("VALS " + " ".join(
+            f"{v:.5f}" for v in np.asarray(vals).reshape(-1)), flush=True)
+        return
+
     losses = []
     for epoch in range(2):
         for batch in ds.epoch_batches(total, seed=epoch, rank=pid,
                                       world_size=nproc):
             m = task.train_step(batch)
             losses.append(float(m["loss"]))
+        if epoch == 0:
+            # mid-training collective eval — exactly what engine.train's
+            # eval_callback does at eval_interval on every process: greedy
+            # EM with the mesh-sharded decoder + the sharded forward losses
+            em, n = task.evaluate_em(ds, batch_size=total, max_decode_len=4)
+            vl = task.validation_loss(ds, batch_size=total)
+            print(f"EVAL {em:.6f} {n} {vl['loss']:.8f}", flush=True)
     print("LOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
 
 

@@ -64,6 +64,33 @@ class TestShardedIndex:
         np.testing.assert_array_equal(np.asarray(rows_after), ni)
         assert not np.array_equal(np.asarray(rows_before), np.asarray(rows_after))
 
+    def test_negative_scores_with_tail_padding(self, mesh):
+        """Index zero-pad rows score 0.0; with all-negative true scores they
+        would displace real candidates from the in-kernel group selection
+        unless masked via n_valid (ADVICE r2: the post-hoc guard alone
+        demotes pad rows but cannot recover the displaced real ones)."""
+        n, d, k = 1000, 32, 5
+        u = np.zeros(d, np.float32)
+        u[0] = 1.0
+        # best rows are the last real ones (999, 998, ...), which share
+        # 16-row groups with the zero-padded tail
+        emb = -np.arange(n, 0, -1, dtype=np.float32)[:, None] * u[None, :]
+        q = u[None, :].repeat(4, axis=0)
+        idx = ShardedEvidenceIndex(
+            mesh, make_cfg(group_size=16, query_tile=8), emb)
+        assert idx.n_padded != idx.n_real  # the case under test
+        vals, rows = idx.search(jnp.asarray(q), k=k)
+        # per-group top-2 contract: the mixed real/pad tail group (992-1007)
+        # must yield its two best REAL rows (999, 998) — without the
+        # in-kernel mask the 0.0-scoring pad rows take both slots and the
+        # real ones are unrecoverable; remaining k come from earlier groups
+        expect = np.array([999, 998, 991, 990, 975])
+        np.testing.assert_array_equal(np.asarray(rows),
+                                      np.tile(expect, (4, 1)))
+        np.testing.assert_allclose(
+            np.asarray(vals),
+            np.tile(-(n - expect).astype(np.float32), (4, 1)), rtol=1e-5)
+
     def test_passage_id_lookup(self, mesh):
         n, d = 64, 32
         emb = np.eye(n, d, dtype=np.float32)

@@ -24,34 +24,42 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _spawn_workers(tmp_path, nproc=2, ndev=4, timeout=900):
+def _spawn_workers(tmp_path, nproc=2, ndev=4, timeout=900, mode="train"):
     port = 39800 + (os.getpid() % 100)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-         str(pid), str(nproc), f"127.0.0.1:{port}", str(tmp_path)],
+         str(pid), str(nproc), f"127.0.0.1:{port}", str(tmp_path), mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)]
     outs = [p.communicate(timeout=timeout)[0] for p in procs]
-    losses = []
+    parsed = {}
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
-        lines = [ln for ln in out.splitlines() if ln.startswith("LOSSES")]
-        assert lines, out[-2000:]
-        losses.append([float(v) for v in lines[-1].split()[1:]])
-    return losses
+        keys = (("LOSSES", "EVAL") if mode == "train" else ("ROWS", "VALS"))
+        for key in keys:
+            lines = [ln for ln in out.splitlines() if ln.startswith(key)]
+            assert lines, out[-2000:]
+            parsed.setdefault(key, []).append(
+                [float(v) for v in lines[-1].split()[1:]])
+    return parsed
 
 
 class TestMultiHostTask:
     def test_two_process_task_matches_single_process(self, tmp_path):
         # multi-process run: 2 procs x 4 devices = 8-device global mesh
-        mh = _spawn_workers(tmp_path, nproc=2, ndev=4)
+        parsed = _spawn_workers(tmp_path, nproc=2, ndev=4)
+        mh, mh_eval = parsed["LOSSES"], parsed["EVAL"]
         assert len(mh) == 2 and len(mh[0]) == 6  # 2 epochs x 3 batches
         # every process sees the identical replicated losses
         np.testing.assert_allclose(mh[0], mh[1], rtol=0, atol=0)
         assert np.isfinite(mh[0]).all()
+        # the mid-training collective eval (EM decode + validation losses)
+        # agrees across processes: both score all 24 questions
+        np.testing.assert_allclose(mh_eval[0], mh_eval[1], rtol=1e-6)
+        assert mh_eval[0][1] == 24  # n deduped uids = dataset size
 
         # single-process 8-device run of the same world/seeds
         import jax
@@ -68,12 +76,65 @@ class TestMultiHostTask:
         task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
         task.init_state(jax.random.PRNGKey(0), 8)
         single = []
+        single_eval = None
         for epoch in range(2):
             for batch in ds.epoch_batches(8, seed=epoch):
                 single.append(float(task.train_step(batch)["loss"]))
+            if epoch == 0:  # mirror the workers' mid-training eval point
+                em, n = task.evaluate_em(ds, batch_size=8, max_decode_len=4)
+                vl = task.validation_loss(ds, batch_size=8)
+                single_eval = [em, n, vl["loss"]]
         # same data order, same params, same math; only collective
         # reduction order differs between gloo and single-process psum
         np.testing.assert_allclose(mh[0], single, rtol=2e-4)
+        # 2-process mesh-sharded eval == single-process eval: EM must agree
+        # exactly (argmax decisions could flip only under gross numeric
+        # divergence), losses within collective-order tolerance
+        assert mh_eval[0][0] == single_eval[0]
+        assert mh_eval[0][1] == single_eval[1]
+        np.testing.assert_allclose(mh_eval[0][2], single_eval[2], rtol=2e-4)
+
+
+class TestMultiHostRefresh:
+    def test_two_process_refresh_matches_single_process(self, tmp_path):
+        """Each process embeds + hot-swaps ONLY its index-shard row range
+        (builder.embed_corpus(row_partition=...) ->
+        index.update_from_process_local); the post-swap index must answer
+        searches identically to a single-process full embed_corpus + update
+        (VERDICT r2 item 2; ref indexer_emdr2.py:77-114)."""
+        parsed = _spawn_workers(tmp_path, nproc=2, ndev=4, mode="refresh")
+        # both processes see identical (replicated) search results
+        np.testing.assert_array_equal(parsed["ROWS"][0], parsed["ROWS"][1])
+        np.testing.assert_allclose(parsed["VALS"][0], parsed["VALS"][1],
+                                   rtol=1e-6)
+
+        # single-process reference: full-matrix embed + update on 8 devices
+        import jax
+        from emdr2_tpu.config import MeshConfig
+        from emdr2_tpu.parallel import build_mesh
+        from emdr2_tpu.retrieval import ShardedEvidenceIndex
+        from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+        from emdr2_tpu.tasks import E2EQATask
+        from tests.helpers import build_toy_world
+        d = (tmp_path / "single_r").mkdir() or tmp_path / "single_r"
+        cfg, tok, corpus, ds, _ = build_toy_world(d)
+        mesh = build_mesh(MeshConfig(dp=8, tp=1))
+        emb0 = np.random.RandomState(0).randn(
+            len(corpus), cfg.index.embed_dim).astype(np.float32)
+        index = ShardedEvidenceIndex(mesh, cfg.index, emb0)
+        task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
+        task.init_state(jax.random.PRNGKey(0), 8)
+        builder = EvidenceIndexBuilder(
+            cfg, mesh, task.model, corpus, tok.cls_id, tok.sep_id,
+            tok.pad_id, batch_size=16)
+        index.update(builder.embed_corpus(task.state.params))
+        vals, rows = index.search(
+            np.random.RandomState(7).randn(
+                8, cfg.index.embed_dim).astype(np.float32), k=5)
+        np.testing.assert_array_equal(
+            parsed["ROWS"][0], np.asarray(rows).reshape(-1))
+        np.testing.assert_allclose(
+            parsed["VALS"][0], np.asarray(vals).reshape(-1), atol=1e-3)
 
 
 class TestSlicingHelpers:
