@@ -52,10 +52,17 @@ class TransformerConfig:
     num_unique_layers: Optional[int] = None
     param_sharing_style: str = "grouped"  # grouped | spaced
     # Flash-style Pallas kernel for FiD decoder cross-attention (training
-    # path): avoids materializing [B, nh, Ld, K*512] scores. Note:
-    # attention dropout is not applied inside the flash kernel.
+    # path): avoids materializing [B, nh, Ld, K*512] scores. Attention
+    # dropout runs INSIDE the kernel (identical counter-based mask in
+    # forward and backward).
     fid_flash_attention: bool = False
     flash_key_chunk: int = 512
+    # The device mesh the flash kernels shard_map over (``pallas_call`` has
+    # no GSPMD partitioning rule — unwrapped, the partitioner replicates its
+    # operands, all-gathering the whole qkv/kv slab onto every device).
+    # Bound by tasks via ``parallel.mesh.bind_mesh``; None = unsharded call
+    # (single chip, or CPU tests without a mesh).
+    mesh: Optional[object] = None
 
     @property
     def head_dim(self) -> int:

@@ -78,8 +78,8 @@ class DecoderSession:
         def cross_kvs(params, enc_hidden):
             """Per-decoder-layer encoder K/V projections, computed once.
             Reaches into the param tree for the cross-attention key_value
-            kernels — a session-level optimization keeping the modules
-            themselves oblivious."""
+            kernels ([D, 2, H] FusedDense layout) — a session-level
+            optimization keeping the modules themselves oblivious."""
             import flax.linen as nn
             outs = []
             for i in range(n_layers):
@@ -87,8 +87,8 @@ class DecoderSession:
                     "cross_attention"]["key_value"])
                 kern = p["kernel"].astype(enc_hidden.dtype)
                 bias = p["bias"].astype(enc_hidden.dtype)
-                outs.append(jnp.dot(enc_hidden, kern,
-                                    preferred_element_type=enc_hidden.dtype)
+                outs.append(jnp.einsum("bld,dnh->blnh", enc_hidden, kern,
+                                       preferred_element_type=enc_hidden.dtype)
                             + bias)
             return outs
 

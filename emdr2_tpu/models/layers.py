@@ -11,7 +11,12 @@ init. Architecture is TPU-first:
 - tensor parallelism is expressed as *logical axis metadata* on every kernel
   (``nn.with_logical_partitioning``) resolved against a device mesh at jit
   time — replacing the mpu Column/RowParallelLinear machinery
-  (``mpu/layers.py:170-363``) with compiler-inserted collectives;
+  (``mpu/layers.py:170-363``) with compiler-inserted collectives. The fused
+  qkv/key_value projections store [D, n, H] (``FusedDense``) so a tp shard
+  is head-blocked at the source, and the Pallas flash kernels shard_map over
+  the bound ``cfg.mesh`` (rows over dp, heads over tp) with zero gathers —
+  head-sharded attention exactly like the mpu design, minus the process
+  groups;
 - incremental decoding uses a KV cache variable collection (the reference
   re-runs the decoder over the whole prefix each step,
   ``search_strategy.py:200-227`` — a deliberate improvement here);
@@ -47,6 +52,21 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """Tanh-approximated GELU, matching the reference's fused bias-gelu
     (``model/fused_bias_gelu.py:31-60``). XLA fuses this into the matmul."""
     return jax.nn.gelu(x, approximate=True)
+
+
+def _kernel_mesh(cfg, rows: int):
+    """The mesh to shard_map a flash kernel over, or None for the plain
+    call. ``pallas_call`` has no GSPMD partitioning rule — unwrapped on a
+    multi-device mesh, the partitioner all-gathers the whole slab onto
+    every device (see ops/fid_attention.py sharding section). Falls back to
+    the unsharded call when rows/heads don't divide the mesh."""
+    mesh = cfg.mesh
+    if mesh is None or mesh.devices.size <= 1:
+        return None
+    dp_ax, tp_ax = mesh.axis_names
+    if cfg.num_heads % mesh.shape[tp_ax] or rows % mesh.shape[dp_ax]:
+        return None
+    return mesh
 
 
 class LayerNorm(nn.Module):
@@ -93,6 +113,37 @@ class Dense(nn.Module):
             )
             y = y + bias.astype(self.dtype)
         return y
+
+
+class FusedDense(nn.Module):
+    """``n_split`` fused projections in one matmul (the qkv / key_value
+    slabs). The kernel is stored [D, n_split, H] with logical axes
+    ("embed", None, "heads"): a tp shard of the heads axis holds a
+    self-contained [q_h | k_h | v_h] block for its nh/tp heads, so the
+    head-sliced flash kernels shard over tp with ZERO resharding — a flat
+    Dense(n*H) tp-shards across the q/k/v boundary and forces a per-layer
+    feature all-gather before the kernel. This is the mpu column-parallel
+    attention design (ref ``mpu/layers.py:170-363``) expressed as sharding
+    metadata. Output [..., n_split, H]; ``reshape(..., n_split*H)`` is a
+    free view recovering the flat [q | k | v] slab layout."""
+
+    n_split: int
+    features: int  # H
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", with_lp(self.kernel_init, ("embed", None, "heads")),
+            (x.shape[-1], self.n_split, self.features), jnp.float32)
+        y = jnp.einsum("...d,dnh->...nh", x.astype(self.dtype),
+                       kernel.astype(self.dtype),
+                       preferred_element_type=self.dtype)
+        bias = self.param(
+            "bias", with_lp(nn.initializers.zeros, (None, "heads")),
+            (self.n_split, self.features), jnp.float32)
+        return y + bias.astype(self.dtype)
 
 
 class Embeddings(nn.Module):
@@ -191,46 +242,67 @@ class Attention(nn.Module):
             q = Dense(h, ("embed", "heads"), dtype=cfg.dtype,
                       kernel_init=normal_init(cfg.init_std), name="query")(x)
             if precomputed_kv is None:
-                kv_proj = Dense(2 * h, ("embed", "heads"), dtype=cfg.dtype,
-                                kernel_init=normal_init(cfg.init_std),
-                                name="key_value")(kv)
+                kv_proj = FusedDense(2, h, dtype=cfg.dtype,
+                                     kernel_init=normal_init(cfg.init_std),
+                                     name="key_value")(kv)  # [.., Lk, 2, H]
             else:
                 kv_proj = precomputed_kv.astype(cfg.dtype)
+                if kv_proj.shape[-1] == 2 * h:  # flat [.., Lk, 2H] slab
+                    kv_proj = kv_proj.reshape(kv_proj.shape[:-1] + (2, h))
             if use_flash:
                 # kv-slab kernel: consumes the query/key_value projections
                 # directly, VJP emits dq + the combined dkv slab — no
                 # split/head-transpose relayouts of the [Lk, 2H] projection
                 from emdr2_tpu.ops.fid_attention import flash_cross_attention
-                Lk = kv_proj.shape[-2]
+                Lk = kv_proj.shape[-3]
                 key_chunk = min(cfg.flash_key_chunk, Lk)
                 rem = Lk % key_chunk
                 kvb = kv_bias.astype(jnp.float32)
                 if rem:
                     # pad keys to a chunk multiple; they carry -1e9 bias
                     pad = key_chunk - rem
-                    kv_proj = jnp.pad(kv_proj, ((0, 0), (0, pad), (0, 0)))
+                    kv_proj = jnp.pad(
+                        kv_proj, ((0, 0), (0, pad), (0, 0), (0, 0)))
                     kvb = jnp.pad(kvb, ((0, 0), (0, pad)),
                                   constant_values=-1e9)
                 rate, seed = dropout_seed()
-                o = flash_cross_attention(q, kv_proj, kvb, seed, nh,
-                                          key_chunk, None, rate)
+                mesh = _kernel_mesh(cfg, q.shape[0])
+                if mesh is not None:
+                    from emdr2_tpu.ops.fid_attention import (
+                        flash_cross_attention_sharded)
+                    o = flash_cross_attention_sharded(
+                        q, kv_proj, kvb, seed, nh, mesh, key_chunk, rate)
+                else:
+                    o = flash_cross_attention(
+                        q, kv_proj.reshape(kv_proj.shape[:-2] + (2 * h,)),
+                        kvb, seed, nh, key_chunk, None, rate)
                 return out_proj(o.astype(cfg.dtype))
-            k, v = jnp.split(kv_proj, 2, axis=-1)
+            k, v = kv_proj[..., 0, :], kv_proj[..., 1, :]
         else:
-            qkv = Dense(3 * h, ("embed", "heads"), dtype=cfg.dtype,
-                        kernel_init=normal_init(cfg.init_std), name="qkv")(x)
+            qkv = FusedDense(3, h, dtype=cfg.dtype,
+                             kernel_init=normal_init(cfg.init_std),
+                             name="qkv")(x)              # [.., L, 3, H]
             if use_flash and x.shape[-2] <= cfg.flash_key_chunk:
-                # fused-QKV slab kernel: consumes the Dense output directly
+                # fused-QKV slab kernel: consumes the projection directly
                 # and its VJP emits the combined dqkv slab — no split/
                 # head-transpose relayouts in fwd, remat recompute, or bwd
                 # (profiled at ~16% of the flagship step for the general
                 # [B, L, nh, hd] contract)
                 from emdr2_tpu.ops.fid_attention import flash_self_attention
                 rate, seed = dropout_seed()
-                o = flash_self_attention(qkv, kv_bias.astype(jnp.float32),
-                                         seed, nh, None, rate)
+                mesh = _kernel_mesh(cfg, qkv.shape[0])
+                if mesh is not None:
+                    from emdr2_tpu.ops.fid_attention import (
+                        flash_self_attention_sharded)
+                    o = flash_self_attention_sharded(
+                        qkv, kv_bias.astype(jnp.float32), seed, nh, mesh,
+                        rate)
+                else:
+                    o = flash_self_attention(
+                        qkv.reshape(qkv.shape[:-2] + (3 * h,)),
+                        kv_bias.astype(jnp.float32), seed, nh, None, rate)
                 return out_proj(o.astype(cfg.dtype))
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
         def heads(t):
             return t.reshape(t.shape[:-1] + (nh, hd))
@@ -261,8 +333,17 @@ class Attention(nn.Module):
             # fwd and bwd)
             from emdr2_tpu.ops.fid_attention import fid_cross_attention
             rate, seed = dropout_seed()
-            out = fid_cross_attention(q, k, v, kv_bias.astype(jnp.float32),
-                                      seed, key_chunk, None, rate)
+            mesh = _kernel_mesh(cfg, q.shape[0]) if q.ndim == 4 else None
+            if mesh is not None:
+                from emdr2_tpu.ops.fid_attention import (
+                    fid_cross_attention_sharded)
+                out = fid_cross_attention_sharded(
+                    q, k, v, kv_bias.astype(jnp.float32), seed, mesh,
+                    key_chunk, rate)
+            else:
+                out = fid_cross_attention(q, k, v,
+                                          kv_bias.astype(jnp.float32),
+                                          seed, key_chunk, None, rate)
             out = out.astype(cfg.dtype).reshape(out.shape[:-2] + (h,))
             return out_proj(out)
 

@@ -8,10 +8,11 @@ Three kernels, two production entry points:
 
 1. ``flash_self_attention`` — **fused-QKV slab self-attention** for every
    padding-masked encoder (T5 encoder over B*K sequences, both BERT towers).
-   Consumes the ``Dense(3H)`` projection [B, L, 3H] directly (heads sliced
-   in VMEM) and its VJP emits the combined dqkv slab: zero split/
-   head-transpose relayouts. Single-key-chunk specialization — backward
-   recomputes the row max/normalizer, nothing but (qkv, out) is saved.
+   Consumes the fused projection as a flat [B, L, 3H] slab (a free view of
+   the ``FusedDense`` [B, L, 3, H] output; heads sliced in VMEM) and its
+   VJP emits the combined dqkv slab: zero split/head-transpose relayouts.
+   Single-key-chunk specialization — backward recomputes the row
+   max/normalizer, nothing but (qkv, out) is saved.
 2. ``flash_cross_attention`` — **kv-slab FiD cross-attention**: 32 decoder
    query positions over K*512 (up to 25,600) encoder positions, chunked with
    online softmax (saved per-head lse). Consumes the query [B, Lq, H] and
@@ -782,3 +783,128 @@ def fid_cross_attention_reference(q, k, v, kv_bias):
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bnqk,bknd->bqnd", p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# --------------------------------------------------------------- sharding
+#
+# ``pallas_call`` has no GSPMD partitioning rule: called unwrapped inside a
+# jit over a multi-device mesh, the SPMD partitioner replicates its operands
+# — an all-gather of the WHOLE global qkv/kv slab onto every device, erasing
+# both dp and tp sharding for the attention block. These wrappers shard_map
+# the kernels over the mesh instead (the composition JAX prescribes for
+# Pallas): batch rows over dp, heads over tp, each shard running the kernel
+# on its own [rows/dp, L, ...] x [nh/tp] slice — the zero-gather head-sharded
+# attention of the Megatron TP design (ref mpu/layers.py:170-363), expressed
+# as shardings instead of process groups.
+#
+# Head slicing on the slabs: the fused projections come in as [.., n, H]
+# (``layers.FusedDense``) with the H axis head-sharded over tp at the
+# SOURCE — a tp shard holds a self-contained [q_h | k_h | v_h] sub-slab for
+# its nh/tp heads, so the constraint below matches the natural projection
+# output sharding and inserts no collective at all (a flat Dense(n*H)
+# layout tp-shards across the q/k/v boundary and would force a per-layer
+# feature all-gather here).
+
+
+def _shard_seed(seed, axis_names):
+    """Decorrelate in-kernel dropout masks across shards: the kernel hashes
+    LOCAL (batch*head) indices, which repeat on every shard."""
+    s = seed
+    for i, ax in enumerate(axis_names):
+        mult = jnp.uint32(0x9E3779B1 if i % 2 == 0 else 0x85EBCA77)
+        s = s + jax.lax.axis_index(ax).astype(jnp.uint32) * mult
+    return s
+
+
+def _constrain(x, mesh, *axes):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*axes)))
+
+
+def flash_self_attention_sharded(qkv4, kv_bias, seed, nh, mesh,
+                                 dropout_rate: float = 0.0):
+    """``flash_self_attention`` shard_mapped over ``mesh``: rows over dp,
+    heads over tp. qkv4 [B, L, 3, H] (FusedDense layout) -> [B, L, H] with
+    the H axis tp-sharded (feeds the row-parallel output projection with no
+    further resharding). Caller guarantees B % dp == 0 and nh % tp == 0."""
+    from jax.sharding import PartitionSpec as P
+    dp_ax, tp_ax = mesh.axis_names
+    tp = mesh.shape[tp_ax]
+    B, L, _, H = qkv4.shape
+    nh_local = nh // tp
+    qkv4 = _constrain(qkv4, mesh, dp_ax, None, None, tp_ax)
+    kv_bias = _constrain(kv_bias, mesh, dp_ax, None)
+    seed_arr = _seed_arr(seed)
+
+    def local(qkv4_l, bias_l, seed_l):
+        slab = qkv4_l.reshape(qkv4_l.shape[0], L, 3 * qkv4_l.shape[-1])
+        s = (None if dropout_rate == 0.0
+             else _shard_seed(seed_l, (dp_ax, tp_ax)))
+        return flash_self_attention(slab, bias_l, s, nh_local, None,
+                                    dropout_rate)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dp_ax, None, None, tp_ax), P(dp_ax, None), P()),
+        out_specs=P(dp_ax, None, tp_ax),
+        check_vma=False)(qkv4, kv_bias, seed_arr)
+
+
+def flash_cross_attention_sharded(q, kv4, kv_bias, seed, nh, mesh,
+                                  key_chunk: int = 512,
+                                  dropout_rate: float = 0.0):
+    """``flash_cross_attention`` shard_mapped over ``mesh``. q [B, Lq, H]
+    (head-major: tp-shardable on its last axis), kv4 [B, Lk, 2, H]
+    (FusedDense layout); returns [B, Lq, H] with H tp-sharded."""
+    from jax.sharding import PartitionSpec as P
+    dp_ax, tp_ax = mesh.axis_names
+    tp = mesh.shape[tp_ax]
+    B, Lk = kv4.shape[0], kv4.shape[1]
+    nh_local = nh // tp
+    q = _constrain(q, mesh, dp_ax, None, tp_ax)
+    kv4 = _constrain(kv4, mesh, dp_ax, None, None, tp_ax)
+    kv_bias = _constrain(kv_bias, mesh, dp_ax, None)
+    seed_arr = _seed_arr(seed)
+
+    def local(q_l, kv4_l, bias_l, seed_l):
+        slab = kv4_l.reshape(kv4_l.shape[0], Lk, 2 * kv4_l.shape[-1])
+        s = (None if dropout_rate == 0.0
+             else _shard_seed(seed_l, (dp_ax, tp_ax)))
+        return flash_cross_attention(q_l, slab, bias_l, s, nh_local,
+                                     key_chunk, None, dropout_rate)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dp_ax, None, tp_ax), P(dp_ax, None, None, tp_ax),
+                  P(dp_ax, None), P()),
+        out_specs=P(dp_ax, None, tp_ax),
+        check_vma=False)(q, kv4, kv_bias, seed_arr)
+
+
+def fid_cross_attention_sharded(q, k, v, kv_bias, seed, mesh,
+                                key_chunk: int = 512,
+                                dropout_rate: float = 0.0):
+    """``fid_cross_attention`` (general per-head form) shard_mapped over
+    ``mesh``: rows over dp, the nh axis over tp. q/k/v [B, L, nh, hd] ->
+    [B, Lq, nh, hd] with nh tp-sharded."""
+    from jax.sharding import PartitionSpec as P
+    dp_ax, tp_ax = mesh.axis_names
+    q = _constrain(q, mesh, dp_ax, None, tp_ax, None)
+    k = _constrain(k, mesh, dp_ax, None, tp_ax, None)
+    v = _constrain(v, mesh, dp_ax, None, tp_ax, None)
+    kv_bias = _constrain(kv_bias, mesh, dp_ax, None)
+    seed_arr = _seed_arr(seed)
+
+    def local(q_l, k_l, v_l, bias_l, seed_l):
+        s = (None if dropout_rate == 0.0
+             else _shard_seed(seed_l, (dp_ax, tp_ax)))
+        return fid_cross_attention(q_l, k_l, v_l, bias_l, s, key_chunk,
+                                   None, dropout_rate)
+
+    spec = P(dp_ax, None, tp_ax, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, P(dp_ax, None), P()),
+        out_specs=spec,
+        check_vma=False)(q, k, v, kv_bias, seed_arr)

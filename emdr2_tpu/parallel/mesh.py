@@ -80,6 +80,28 @@ def build_meshes(cfg: MeshConfig,
     return train_mesh, Mesh(embed_grid, cfg.axis_names)
 
 
+def bind_mesh(cfg, mesh: Optional[Mesh]):
+    """Attach ``mesh`` to every transformer config inside an ``EMDR2Config``
+    or ``RetrieverConfig`` so the Pallas attention kernels can shard_map
+    themselves over it (see ``ops.fid_attention``: ``pallas_call`` has no
+    GSPMD partitioning rule — without the wrap, the partitioner replicates
+    its operands, all-gathering whole qkv/kv slabs onto every device).
+
+    A model jitted on a DIFFERENT mesh (e.g. the disjoint embedder sub-mesh)
+    must be rebound to that mesh first — shard_map over a foreign mesh is a
+    device-assignment error.
+    """
+    import dataclasses
+    if hasattr(cfg, "encoder"):                      # RetrieverConfig
+        return dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, mesh=mesh))
+    enc = dataclasses.replace(cfg.retriever.encoder, mesh=mesh)
+    t5c = dataclasses.replace(cfg.reader.transformer, mesh=mesh)
+    return cfg.replace(
+        retriever=dataclasses.replace(cfg.retriever, encoder=enc),
+        reader=dataclasses.replace(cfg.reader, transformer=t5c))
+
+
 def param_shardings(mesh: Mesh, abstract_variables):
     """Map a pytree of flax logical-partitioning metadata to NamedShardings.
 

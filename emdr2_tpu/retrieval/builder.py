@@ -159,6 +159,58 @@ class EvidenceIndexBuilder:
                 progress(hi - start_g, n_local)
         return out
 
+    def embed_corpus_device(self, params, out_rows: int,
+                            progress: Optional[Callable[[int, int], None]] = None
+                            ) -> "jax.Array":
+        """Embed the corpus into a DEVICE-RESIDENT [out_rows, d] buffer,
+        rows sharded over this builder's whole mesh — the zero-copy refresh
+        path: the refresher hands the buffer straight to
+        ``ShardedEvidenceIndex.swap_device_array`` (device-to-device), never
+        bouncing ~2 GB/chip of embeddings through the host the way the
+        host-array path does (and the reference's 32 GB disk pickle did,
+        async_indexer.py:116-144).
+
+        ``out_rows``: the index's padded row count (``index.n_padded``).
+        Rows in [len(corpus), out_rows) may hold duplicate embeddings of the
+        last document — the index masks them in-kernel via n_valid.
+        Single-process only (multi-host uses per-host block assembly)."""
+        assert jax.process_count() == 1, (
+            "zero-copy refresh is single-process; multi-host refresh uses "
+            "embed_corpus(row_partition=...) + update_from_process_local")
+        import jax.numpy as jnp
+        n = len(self.corpus)
+        assert out_rows >= n, (out_rows, n)
+        d = self.cfg.index.embed_dim
+        dtype = self.cfg.index.dtype
+        sharding = NamedSharding(self.mesh, P(self.mesh.axis_names, None))
+        buf = jax.jit(lambda: jnp.zeros((out_rows, d), dtype),
+                      out_shardings=sharding)()
+        if not hasattr(self, "_place_fns"):
+            self._place_fns = {}
+        bs = self.batch_size
+        params = self.place_params(params)
+        for start in range(0, n, bs):
+            stop = min(start + bs, n)
+            doc_ids = np.arange(start + 1, stop + 1)
+            if stop - start < bs:  # pad tail batch to keep shapes static
+                doc_ids = np.concatenate(
+                    [doc_ids, np.full(bs - (stop - start), stop, np.int64)])
+            ids, types = self._format_rows(doc_ids)
+            emb = self._embed(params, jnp.asarray(ids), jnp.asarray(types))
+            # update size shrinks only when the buffer tail is closer than
+            # one batch (dynamic_update_slice clamps starts — never let the
+            # write window slide backwards over real rows)
+            size = min(bs, out_rows - start)
+            if size not in self._place_fns:
+                self._place_fns[size] = jax.jit(
+                    lambda b, e, s, _n=size: jax.lax.dynamic_update_slice_in_dim(
+                        b, e[:_n].astype(b.dtype), s, axis=0),
+                    donate_argnums=(0,), out_shardings=sharding)
+            buf = self._place_fns[size](buf, emb, start)
+            if progress is not None:
+                progress(stop, n)
+        return buf
+
     def build_store(self, params, path: Optional[str] = None) -> EmbeddingStore:
         emb = self.embed_corpus(params)
         store = EmbeddingStore(emb.shape[1], np.float16)

@@ -75,6 +75,8 @@ class QAPipeline:
             reader=dataclasses.replace(cfg.reader, transformer=t5c))
 
         mesh = mesh or build_mesh()
+        from emdr2_tpu.parallel.mesh import bind_mesh
+        cfg = bind_mesh(cfg, mesh)  # flash kernels shard_map over the mesh
         corpus = EvidenceCorpus.load(evidence_prefix + "_text",
                                      evidence_prefix + "_title")
         if embedding_path.endswith(".pkl"):

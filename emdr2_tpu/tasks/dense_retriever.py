@@ -194,7 +194,8 @@ class DPRTask:
     def __init__(self, cfg: RetrieverConfig, opt_cfg: OptimizerConfig,
                  mesh: Mesh, total_train_iters: int,
                  score_scaling: bool = True):
-        self.cfg = cfg
+        from emdr2_tpu.parallel.mesh import bind_mesh
+        self.cfg = cfg = bind_mesh(cfg, mesh)  # flash kernels shard over it
         self.mesh = mesh
         self.model = DualEncoder(cfg)
         self.score_scaling = score_scaling

@@ -44,7 +44,11 @@ class E2EQATask:
                  corpus: EvidenceCorpus,
                  index: ShardedEvidenceIndex,
                  total_train_iters: int = 1000):
-        self.cfg = cfg
+        from emdr2_tpu.parallel.mesh import bind_mesh
+        # bind the mesh into the transformer configs so the Pallas flash
+        # kernels shard_map over it (heads over tp, rows over dp) instead of
+        # being replicated by the partitioner
+        self.cfg = cfg = bind_mesh(cfg, mesh)
         self.mesh = mesh
         self.tok = t5_tokenizer
         self.corpus = corpus

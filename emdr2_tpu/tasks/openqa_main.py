@@ -112,12 +112,20 @@ def run_openqa(args, cfg) -> int:
     refresher = None
     if args.async_indexer:
         # the embedder jits onto its own disjoint sub-mesh when configured
-        # (--embed-devices N), the train mesh otherwise
+        # (--embed-devices N), the train mesh otherwise. The sub-mesh case
+        # needs a model whose flash kernels are bound to THAT mesh
+        # (shard_map over a foreign mesh is a device-assignment error)
+        from emdr2_tpu.models import EMDR2Model
+        from emdr2_tpu.parallel.mesh import bind_mesh
+        builder_model = (task.model if embed_mesh is None
+                         else EMDR2Model(bind_mesh(cfg, embed_mesh)))
         builder = EvidenceIndexBuilder(
-            cfg, embed_mesh if embed_mesh is not None else mesh, task.model,
+            cfg, embed_mesh if embed_mesh is not None else mesh,
+            builder_model,
             corpus, t5_tok.cls_id, t5_tok.sep_id, t5_tok.pad_id)
         refresher = AsyncIndexRefresher(
-            builder, index, reload_interval=cfg.train.index_reload_interval)
+            builder, index, reload_interval=cfg.train.index_reload_interval,
+            zero_copy=True)  # device-to-device swap; auto-off on multi-host
 
     def eval_cb(iteration):
         # collective: every process participates in the mesh-sharded decode

@@ -63,6 +63,12 @@ def _qkv_bias_to_ours(b: np.ndarray, num_heads: int, n_split: int,
                         (2, 0, 1)).reshape(-1)
 
 
+def _fused_kernel(w: np.ndarray, n_split: int) -> np.ndarray:
+    """[n*H, D] (ours-order outermost) -> the FusedDense [D, n, H] param."""
+    out_dim, in_dim = w.shape
+    return w.T.reshape(in_dim, n_split, out_dim // n_split)
+
+
 def _linear(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
     out = {"kernel": _to_np(sd[f"{prefix}.weight"]).T}
     if f"{prefix}.bias" in sd:
@@ -85,12 +91,15 @@ def convert_stack(sd: Dict, num_layers: int, num_heads: int, version: int,
             "ln_self": _ln(sd, f"{p}.input_layernorm"),
             "self_attention": {
                 "qkv": {
-                    "kernel": _qkv_to_ours(
+                    # FusedDense stores [D, 3, H] (head-blocked tp sharding,
+                    # models/layers.py:FusedDense); flatten of the last two
+                    # axes recovers the [q | k | v] slab
+                    "kernel": _fused_kernel(_qkv_to_ours(
                         _to_np(sd[f"{p}.attention.query_key_value.weight"]),
-                        num_heads, 3, version).T,
+                        num_heads, 3, version), 3),
                     "bias": _qkv_bias_to_ours(
                         _to_np(sd[f"{p}.attention.query_key_value.bias"]),
-                        num_heads, 3, version),
+                        num_heads, 3, version).reshape(3, -1),
                 },
                 "out": _linear(sd, f"{p}.attention.dense"),
             },
@@ -105,12 +114,12 @@ def convert_stack(sd: Dict, num_layers: int, num_heads: int, version: int,
             layer["cross_attention"] = {
                 "query": _linear(sd, f"{p}.inter_attention.query"),
                 "key_value": {
-                    "kernel": _qkv_to_ours(
+                    "kernel": _fused_kernel(_qkv_to_ours(
                         _to_np(sd[f"{p}.inter_attention.key_value.weight"]),
-                        num_heads, 2, version).T,
+                        num_heads, 2, version), 2),
                     "bias": _qkv_bias_to_ours(
                         _to_np(sd[f"{p}.inter_attention.key_value.bias"]),
-                        num_heads, 2, version),
+                        num_heads, 2, version).reshape(2, -1),
                 },
                 "out": _linear(sd, f"{p}.inter_attention.dense"),
             }

@@ -59,6 +59,8 @@ def main(argv=None):
         index=C.IndexConfig(embed_dim=args.hidden_size))
 
     mesh = build_mesh()
+    from emdr2_tpu.parallel.mesh import bind_mesh
+    cfg = bind_mesh(cfg, mesh)  # flash kernels shard_map over the mesh
     corpus = EvidenceCorpus.load(args.evidence_data_path + "_text",
                                  args.evidence_data_path + "_title")
     model = EMDR2Model(cfg)

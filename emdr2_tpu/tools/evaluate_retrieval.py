@@ -71,7 +71,8 @@ def main(argv=None):
                                  np.asarray(store.embeddings, np.float32),
                                  passage_ids=np.asarray(store.ids))
 
-    model = EMDR2Model(cfg)
+    from emdr2_tpu.parallel.mesh import bind_mesh
+    model = EMDR2Model(bind_mesh(cfg, mesh))
     import jax.numpy as jnp
     sample = jnp.zeros((2, cfg.retriever.query_seq_len), jnp.int32)
     params = model.init({"params": jax.random.PRNGKey(0)}, sample,

@@ -49,15 +49,23 @@ class AsyncIndexRefresher:
                  index: ShardedEvidenceIndex,
                  reload_interval: int,
                  extract_retriever: Callable[[Any], Any] = lambda p: p,
-                 on_refresh: Optional[Callable[[int], None]] = None):
+                 on_refresh: Optional[Callable[[int], None]] = None,
+                 zero_copy: bool = False):
         """``extract_retriever`` maps the train-state params to the params
         pytree the builder's embed fn expects (identity when the builder
-        wraps the full EMDR2 model)."""
+        wraps the full EMDR2 model).
+
+        ``zero_copy``: keep the freshly-embedded matrix on the builder's
+        devices and swap it into the index with a device-to-device transfer
+        (``swap_device_array``) instead of bouncing ~2 GB/chip through the
+        host. Single-process only (forced off under multi-host, where the
+        per-host block path is already gather-free)."""
         self.builder = builder
         self.index = index
         self.reload_interval = reload_interval
         self.extract = extract_retriever
         self.on_refresh = on_refresh
+        self.zero_copy = zero_copy and jax.process_count() == 1
 
         self._weights = None
         self._weights_ready = threading.Event()
@@ -101,7 +109,9 @@ class AsyncIndexRefresher:
             emb, self._result = self._result, None
         if emb is None:
             return False
-        if jax.process_count() > 1:
+        if isinstance(emb, jax.Array):      # zero-copy: device-resident
+            self.index.swap_device_array(emb)
+        elif jax.process_count() > 1:
             # emb holds only this process's index-shard rows — swapped in
             # with zero cross-host traffic
             self.index.update_from_process_local(emb)
@@ -154,6 +164,10 @@ class AsyncIndexRefresher:
                     emb = self.builder.embed_corpus(
                         params,
                         row_partition=self.index.process_row_range())
+                elif self.zero_copy:
+                    emb = self.builder.embed_corpus_device(
+                        params, out_rows=self.index.n_padded)
+                    jax.block_until_ready(emb)
                 else:
                     emb = self.builder.embed_corpus(params)
                 with self._result_lock:
