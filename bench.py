@@ -130,6 +130,53 @@ def make_flagship_step(B: int = 4, K: int = 50):
     return compiled, state, batch
 
 
+def model_flops_per_step(cfg, B: int, K: int) -> float:
+    """Analytic matmul FLOPs of one train step — the MODEL's useful work.
+
+    ``hw_flops_util`` (HLO cost analysis of the compiled module) counts the
+    remat recompute as work and overstates utilization; THIS number is what
+    classic MFU is measured against. Counts fwd+2x-bwd for the
+    gradient-carrying passes (query/context towers, FiD encoder, student
+    decoder + LM head) and fwd only for the stop-gradient teacher
+    (models/emdr2.py:150-152). Attention scores, projections, MLPs, and LM
+    heads; embedding lookups/layernorms/softmaxes excluded (sub-1%).
+    """
+    enc = cfg.retriever.encoder
+    t5 = cfg.reader.transformer
+    Lq = cfg.retriever.query_seq_len
+    Lc = cfg.retriever.seq_len
+    Lr = cfg.reader.seq_len
+    Ld = cfg.reader.decoder_seq_len
+
+    def layer_self(S, H, F):
+        # qkv + scores(QK) + mix(PV) + out + mlp(in+out)
+        return 8 * S * H * H + 4 * S * S * H + 4 * S * H * F
+
+    def stack_self(S, H, F, n_layers):
+        return n_layers * layer_self(S, H, F)
+
+    def decoder_stack(S, Lk, H, F, n_layers):
+        cross = (4 * S * H * H          # q + out projections
+                 + 4 * Lk * H * H       # fused kv projection over Lk keys
+                 + 4 * S * Lk * H)      # QK + PV
+        return n_layers * (layer_self(S, H, F) + cross)
+
+    He, Fe = enc.hidden_size, enc.ffn_size
+    Ht, Ft = t5.hidden_size, t5.ffn_size
+    V = t5.vocab_size
+
+    query_tower = B * stack_self(Lq, He, Fe, enc.num_layers)
+    ctx_tower = B * K * stack_self(Lc, He, Fe, enc.num_layers)
+    fid_encoder = B * K * stack_self(Lr, Ht, Ft, t5.num_layers)
+    student_dec = (B * decoder_stack(Ld, K * Lr, Ht, Ft, t5.num_layers)
+                   + 2 * B * Ld * Ht * V)              # LM head
+    teacher = (B * K * stack_self(Lr, Ht, Ft, t5.num_layers)      # encoder
+               + B * K * decoder_stack(Ld, Lr, Ht, Ft, t5.num_layers)
+               + 2 * B * K * Ld * Ht * V)
+    grad_carrying = query_tower + ctx_tower + fid_encoder + student_dec
+    return 3.0 * grad_carrying + 1.0 * teacher
+
+
 def bench_train_step(B: int = 4, K: int = 50):
     compiled, state, batch = make_flagship_step(B, K)
     ca = compiled.cost_analysis()
@@ -161,6 +208,10 @@ def bench_train_step(B: int = 4, K: int = 50):
         peak = 197e12
         out["unknown_device_assumed_peak_tflops"] = peak / 1e12
     out["hw_flops_util"] = round(flops / dt / peak, 3)
+    # classic MFU: analytic model FLOPs (no remat recompute) over peak
+    mflops = model_flops_per_step(flagship_step_config(B, K), B, K)
+    out["model_tflops_per_step"] = round(mflops / 1e12, 1)
+    out["model_flops_util"] = round(mflops / dt / peak, 3)
     return out
 
 

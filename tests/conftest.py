@@ -34,9 +34,12 @@ assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 import pytest  # noqa: E402
 
-# Modules whose tests form the <2-minute core subset (pure functions, small
-# jits): run with `pytest -m fast`. The excluded modules drive full train
-# loops / decoders on the 8-device mesh and dominate the ~20-minute suite.
+# Three speed tiers (VERDICT r2 item 9 — keep the suite something people
+# actually run):
+#   `pytest -m fast`        <3 min: pure functions + small jits
+#   `pytest` (default)      ~10 min: everything except the multi-process /
+#                           full-train-loop modules (marked slow, skipped)
+#   `pytest --runslow`      the whole suite (~35 min) — run before shipping
 FAST_MODULES = {
     "test_foundations.py",
     "test_losses.py",
@@ -46,17 +49,41 @@ FAST_MODULES = {
     "test_index.py",
     "test_engine_unit.py",
     "test_checkpointing.py",
-    "test_convert.py",
-    "test_fid_attention.py",
 }
+
+# Multi-process spawns and full train/refresh loops: minutes each on the
+# CPU mesh. Skipped by default; selected with --runslow or -m slow.
+SLOW_MODULES = {
+    "test_multihost.py",
+    "test_e2e_train.py",
+    "test_async_refresh.py",
+    "test_submesh.py",
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run the slow multi-process/train-loop tests")
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "fast: quick core subset (select with -m fast)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / full-loop tests "
+                   "(skipped unless --runslow or -m slow)")
 
 
 def pytest_collection_modifyitems(config, items):
+    run_slow = (config.getoption("--runslow")
+                or "slow" in (config.getoption("-m") or ""))
+    skip_slow = pytest.mark.skip(
+        reason="slow: select with --runslow or -m slow")
     for item in items:
-        if item.fspath.basename in FAST_MODULES:
+        base = item.fspath.basename
+        if base in FAST_MODULES:
             item.add_marker(pytest.mark.fast)
+        if base in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+            if not run_slow:
+                item.add_marker(skip_slow)

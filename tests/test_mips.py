@@ -147,3 +147,60 @@ class TestSharded:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestShapeRobustness:
+    """Off-grid shape sweep (VERDICT r2 item 8): odd nq, d far from lane
+    multiples, k exceeding the candidate pool (forces the group_size
+    adaptation loop), tiny query tiles, and n_valid masking at ragged
+    shard lengths. Interpret mode; checked against exact numpy top-k
+    (group_size=1 -> candidate selection is exact)."""
+
+    @pytest.mark.parametrize("nq,d,n,chunk,qt", [
+        (3, 24, 700, 128, 8),       # odd nq, sub-lane d
+        (17, 200, 1500, 256, 16),   # d not a 128 multiple
+        (1, 64, 300, 128, 128),     # single query, qt > nq
+    ])
+    def test_group1_exact_at_odd_shapes(self, nq, d, n, chunk, qt):
+        rng = np.random.RandomState(1)
+        q = rng.randn(nq, d).astype(np.float32)
+        e = rng.randn(n, d).astype(np.float32)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 5,
+                              chunk_rows=chunk, group_size=1,
+                              query_tile=qt, interpret=True)
+        nv, ni = np_topk(q, e, 5)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+        np.testing.assert_allclose(np.asarray(vals), nv, rtol=1e-4)
+
+    def test_k_exceeds_candidate_pool_adapts_group(self):
+        """k > cands_per_group * n/group_size: the wrapper halves
+        group_size until enough candidates exist."""
+        rng = np.random.RandomState(2)
+        q = rng.randn(4, 32).astype(np.float32)
+        e = rng.randn(600, 32).astype(np.float32)
+        # group 128 -> only 2*600/128 ~ 9 candidates < k=48 -> must adapt
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 48,
+                              chunk_rows=256, group_size=128,
+                              query_tile=8, interpret=True)
+        nv, ni = np_topk(q, e, 48)
+        # k=48 of n=600 is a degenerate ratio: after adaptation (~16-row
+        # groups, top-2 each) pigeonhole guarantees some 3-in-a-group
+        # collisions — assert the adaptation produced a usable candidate
+        # pool (>= 75% overlap) rather than exactness
+        for r in range(4):
+            overlap = len(set(np.asarray(idx)[r]) & set(ni[r]))
+            assert overlap >= 36, overlap
+        assert np.isfinite(np.asarray(vals)).all()
+
+    @pytest.mark.parametrize("n_valid", [1, 250, 255])
+    def test_n_valid_masks_tail(self, n_valid):
+        rng = np.random.RandomState(3)
+        q = rng.randn(4, 32).astype(np.float32)
+        e = rng.randn(256, 32).astype(np.float32)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 3,
+                              chunk_rows=64, group_size=1, query_tile=8,
+                              n_valid=n_valid, interpret=True)
+        nv, ni = np_topk(q, e[:n_valid] if n_valid < 256 else e, 3)
+        keep = min(3, n_valid)
+        np.testing.assert_array_equal(np.asarray(idx)[:, :keep],
+                                      ni[:, :keep])
