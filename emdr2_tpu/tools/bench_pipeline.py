@@ -97,8 +97,21 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5):
         hyps = greedy_decode(session, batch, bos_id=1, eos_id=0)
     dt = (time.time() - t0) / iters
     assert len(hyps) == B
+
+    # beam-5: the device-resident lax.while_loop beam (same session/cache
+    # machinery; VERDICT r2 item 4 target: within ~2x of greedy)
+    from emdr2_tpu.models.decoding import beam_search_decode
+    beam_search_decode(session, batch, bos_id=1, eos_id=0, beam_size=5)
+    t0 = time.time()
+    for _ in range(iters):
+        hb = beam_search_decode(session, batch, bos_id=1, eos_id=0,
+                                beam_size=5)
+    dtb = (time.time() - t0) / iters
+    assert len(hb) == B
     return {"decode_ms_per_batch": round(dt * 1000, 1),
-            "questions_per_sec_per_chip": round(B / dt, 2)}
+            "questions_per_sec_per_chip": round(B / dt, 2),
+            "beam5_ms_per_batch": round(dtb * 1000, 1),
+            "beam5_vs_greedy": round(dtb / dt, 2)}
 
 
 def main(argv=None):

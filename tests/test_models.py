@@ -56,6 +56,44 @@ class TestBert:
         assert not np.allclose(np.asarray(q), np.asarray(c))
 
 
+class TestBertPretrainHeads:
+    """BERT pretraining heads (ref bert_model.py:29-131) — unused by the
+    EMDR2/DPR tasks but part of the reference surface."""
+
+    def test_lm_and_binary_shapes(self, cfg):
+        from emdr2_tpu.models.bert import BertPretrainModel
+        tcfg = cfg.retriever.encoder
+        model = BertPretrainModel(tcfg)
+        ids = jnp.array([[2, 5, 6, 0], [2, 7, 0, 0]])
+        params = model.init(rngs(), ids)
+        lm, binary = model.apply(params, ids)
+        assert lm.shape == (2, 4, tcfg.vocab_size)
+        assert lm.dtype == jnp.float32
+        assert binary.shape == (2, 2)
+
+    def test_lm_head_ties_embeddings(self, cfg):
+        """No second [V, H] matrix: the LM projection reuses the word
+        embedding (parallel_lm_logits with the embedding weight,
+        bert_model.py:95-103)."""
+        from emdr2_tpu.models.bert import BertPretrainModel
+        import flax
+        tcfg = cfg.retriever.encoder
+        model = BertPretrainModel(tcfg, add_binary_head=False)
+        ids = jnp.array([[2, 5, 6, 0]])
+        variables = model.init(rngs(), ids)
+        import flax.linen as nn
+        flat = flax.traverse_util.flatten_dict(
+            flax.core.unfreeze(nn.meta.unbox(variables["params"])))
+        vocab_sized = [k for k, v in flat.items()
+                       if hasattr(v, "shape") and tcfg.vocab_size in
+                       getattr(v, "shape", ())]
+        # exactly the word embedding matrix and the LM bias
+        assert sorted(p[-1] for p in vocab_sized) == [
+            "lm_bias", "word_embeddings"], vocab_sized
+        lm, binary = model.apply(variables, ids)
+        assert binary is None and np.isfinite(np.asarray(lm)).all()
+
+
 class TestT5:
     def test_seq2seq_logits(self, cfg):
         tc = cfg.reader.transformer
