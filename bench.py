@@ -185,12 +185,16 @@ def bench_train_step(B: int = 4, K: int = 50):
     flops = float(ca.get("flops", 0.0))
 
     state, m = compiled(state, batch)  # warmup
-    jax.block_until_ready(m)
-    iters = 5
+    np.asarray(m["loss"])
+    # The steps chain through the donated train state, so one host fetch of
+    # the last step's loss bounds the whole sequence. (block_until_ready is
+    # not a reliable fence through the remote-device tunnel; an explicit
+    # host transfer is.)
+    iters = 10
     t0 = time.time()
     for _ in range(iters):
         state, m = compiled(state, batch)
-    jax.block_until_ready(m)
+    np.asarray(m["loss"])
     dt = (time.time() - t0) / iters
 
     kind = getattr(jax.devices()[0], "device_kind", "")

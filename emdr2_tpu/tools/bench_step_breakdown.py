@@ -53,13 +53,20 @@ def main(argv=None):
     kind = getattr(jax.devices()[0], "device_kind", "")
     peak = bench_mod.PEAK_FLOPS.get(kind, 197e12)
 
+    def fetch(out):
+        # force a host transfer of one leaf: executions on a single device
+        # complete in stream order, so this bounds every prior dispatch.
+        # (block_until_ready is not a reliable fence through the
+        # remote-device tunnel; an explicit transfer is.)
+        import numpy as np
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+
     def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
+        fetch(fn(*a))
         t0 = time.time()
         for _ in range(args.iters):
             out = fn(*a)
-        jax.block_until_ready(out)
+        fetch(out)
         return (time.time() - t0) / args.iters
 
     # ---- passes -----------------------------------------------------------
@@ -130,11 +137,11 @@ def main(argv=None):
 
     # full step donates the state: rethread it through the loop
     st, m = compiled(state, batch)
-    jax.block_until_ready(m)
+    fetch(m)
     t0 = time.time()
     for _ in range(args.iters):
         st, m = compiled(st, batch)
-    jax.block_until_ready(m)
+    fetch(m)
     dt_full = (time.time() - t0) / args.iters
     rows["full_step"] = {"ms": round(dt_full * 1000, 1)}
     rows["sum_of_parts_ms"] = round(

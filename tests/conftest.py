@@ -58,6 +58,16 @@ SLOW_MODULES = {
     "test_e2e_train.py",
     "test_async_refresh.py",
     "test_submesh.py",
+    "test_flash_integration.py",   # whole-model flash-vs-XLA train parity
+    "test_cli.py",                 # full CLI train loops on the toy world
+}
+
+# Individual long-running tests inside otherwise-default modules
+# (durations from `pytest -m "not slow" --durations` on the 8-device mesh).
+SLOW_TESTS = {
+    "test_unbiased_in_expectation",        # 196s: dropout statistics sweep
+    "test_training_improves_accuracy",     # 80s: DPR training loop
+    "test_state_checkpoint_roundtrip",     # 51s: DPR train + orbax roundtrip
 }
 
 
@@ -83,7 +93,7 @@ def pytest_collection_modifyitems(config, items):
         base = item.fspath.basename
         if base in FAST_MODULES:
             item.add_marker(pytest.mark.fast)
-        if base in SLOW_MODULES:
+        if base in SLOW_MODULES or item.name.split("[")[0] in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
             if not run_slow:
                 item.add_marker(skip_slow)
