@@ -28,6 +28,9 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# hardware RNG for dropout masks — the CLI default (tasks/run.py --rng-impl);
+# threefry mask generation alone costs ~133 ms of the flagship step
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp
 import numpy as np

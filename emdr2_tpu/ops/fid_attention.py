@@ -860,7 +860,7 @@ def flash_cross_attention_sharded(q, kv4, kv_bias, seed, nh, mesh,
     from jax.sharding import PartitionSpec as P
     dp_ax, tp_ax = mesh.axis_names
     tp = mesh.shape[tp_ax]
-    B, Lk = kv4.shape[0], kv4.shape[1]
+    Lk = kv4.shape[1]
     nh_local = nh // tp
     q = _constrain(q, mesh, dp_ax, None, tp_ax)
     kv4 = _constrain(kv4, mesh, dp_ax, None, None, tp_ax)

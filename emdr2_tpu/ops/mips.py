@@ -55,14 +55,21 @@ def row_alignment(chunk_rows: int = 8192, group_size: int = 128) -> int:
     return chunk_rows * max(1, _OUT_COLS // n_groups)
 
 
-def exact_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def exact_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int,
+               n_valid=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference-exact top-k: full matmul + lax.top_k.
 
     queries [nq, d], shard [N, d] -> (scores [nq, k] fp32, idx [nq, k] int32).
+
+    ``n_valid``: rows >= n_valid are masked to -inf BEFORE the top-k, so
+    zero-padded tail rows (which score 0.0) can never displace real
+    candidates whose true scores are negative.
     """
     scores = jnp.matmul(queries.astype(shard.dtype), shard.T,
                         preferred_element_type=jnp.float32)
+    if n_valid is not None:
+        scores = jnp.where(
+            jnp.arange(shard.shape[0])[None, :] < n_valid, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
 
@@ -279,10 +286,7 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     n, d2 = shard.shape
     assert d == d2, (queries.shape, shard.shape)
     if exact or n <= chunk_rows:
-        vals, idx = exact_topk(queries, shard, k)
-        if n_valid is not None:
-            vals = jnp.where(idx < n_valid, vals, NEG_INF)
-        return vals, idx
+        return exact_topk(queries, shard, k, n_valid=n_valid)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

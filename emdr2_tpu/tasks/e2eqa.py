@@ -153,15 +153,20 @@ class E2EQATask:
             reader_seq_len=cfg.reader.seq_len,
             cls_id=self.tok.cls_id, sep_id=self.tok.sep_id,
             pad_id=self.tok.pad_id)
+        # single-process: commit to device here so the prefetch thread
+        # overlaps the H2D transfer with compute. Multi-host: keep host
+        # arrays — make_global_array wants process-local host data, and a
+        # device commit here would just be read straight back.
+        conv = jnp.asarray if jax.process_count() == 1 else np.asarray
         return EMDR2Batch(
-            query_bert_ids=jnp.asarray(batch.query_bert_ids),
-            context_bert_ids=jnp.asarray(post.context_bert_ids),
-            context_bert_types=jnp.asarray(post.context_bert_types),
-            reader_ids=jnp.asarray(post.reader_ids),
-            reader_one_ctx_ids=jnp.asarray(post.reader_one_ctx_ids),
-            dec_ids=jnp.asarray(batch.dec_ids),
-            labels=jnp.asarray(batch.labels),
-            loss_mask=jnp.asarray(batch.loss_mask),
+            query_bert_ids=conv(batch.query_bert_ids),
+            context_bert_ids=conv(post.context_bert_ids),
+            context_bert_types=conv(post.context_bert_types),
+            reader_ids=conv(post.reader_ids),
+            reader_one_ctx_ids=conv(post.reader_one_ctx_ids),
+            dec_ids=conv(batch.dec_ids),
+            labels=conv(batch.labels),
+            loss_mask=conv(batch.loss_mask),
         )
 
     # --------------------------------------------------------------- stage C
@@ -209,6 +214,11 @@ class E2EQATask:
         from emdr2_tpu.parallel.distributed import make_global_batch
         batch_size = batch_size or self.global_batch_size
         procs, rank = jax.process_count(), jax.process_index()
+        if batch_size % procs:
+            raise ValueError(
+                f"eval batch_size {batch_size} must divide evenly over "
+                f"{procs} processes — a truncated slice would silently "
+                f"drop the remainder rows of every batch")
         per = batch_size // procs
         if "eval_forward" not in self._jitted:
             dp = NamedSharding(self.mesh, P("dp"))
@@ -260,6 +270,11 @@ class E2EQATask:
         cfg = self.cfg
         batch_size = batch_size or self.global_batch_size
         procs, rank = jax.process_count(), jax.process_index()
+        if batch_size % procs:
+            raise ValueError(
+                f"eval batch_size {batch_size} must divide evenly over "
+                f"{procs} processes — a truncated slice would silently "
+                f"drop the remainder rows of every batch")
         per = batch_size // procs
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # cache the session: its jitted fns must be reused across eval calls

@@ -66,6 +66,24 @@ class AsyncIndexRefresher:
         self.extract = extract_retriever
         self.on_refresh = on_refresh
         self.zero_copy = zero_copy and jax.process_count() == 1
+        if jax.process_count() > 1:
+            # Multi-controller hazard: the worker thread issues globally-
+            # jitted collectives. If those run on devices the trainer also
+            # uses, each process may enqueue the two programs in a different
+            # order -> cross-host collective deadlock. A single controller
+            # orders all launches itself, so single-process sharing is safe;
+            # multi-host requires hardware disjointness (the reference gets
+            # this for free from its 8-trainer/8-indexer rank split).
+            shared = (set(builder.mesh.devices.flat)
+                      & set(index.mesh.devices.flat))
+            if shared:
+                raise ValueError(
+                    "multi-host async refresh needs a disjoint embedder "
+                    "sub-mesh (--embed-devices N): the embedder's mesh "
+                    f"shares {len(shared)} device(s) with the train mesh, "
+                    "and two controllers issuing collectives on shared "
+                    "devices in different orders can deadlock. Use "
+                    "--embed-devices or the synchronous refresher.")
 
         self._weights = None
         self._weights_ready = threading.Event()
@@ -156,10 +174,10 @@ class AsyncIndexRefresher:
                 self._weights_ready.clear()
                 params = self._weights
                 # multi-host: each process embeds only its own index-shard
-                # row range (lockstep globally-jitted steps). NOTE: the
-                # async thread issues mesh collectives; on multi-host the
-                # trainer must not race its own collectives against them —
-                # use a disjoint embedder sub-mesh or SynchronousRefresher.
+                # row range (lockstep globally-jitted steps). The embed
+                # mesh is guaranteed device-disjoint from the train mesh
+                # (enforced in __init__), so these collectives can never
+                # interleave with the trainer's across controllers.
                 if jax.process_count() > 1:
                     emb = self.builder.embed_corpus(
                         params,

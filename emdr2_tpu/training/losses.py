@@ -94,13 +94,18 @@ def kl_div_retriever_loss(gold_log_probs: jnp.ndarray,
     gold_log_probs = gold_log_probs.astype(jnp.float32)
     topk_log_probs = topk_log_probs.astype(jnp.float32)
     # [B, K]
-    denom = jnp.maximum(jnp.sum(loss_mask, axis=1), 1.0)  # all-masked row -> 0
+    row_tokens = jnp.sum(loss_mask, axis=1)
+    denom = jnp.maximum(row_tokens, 1.0)  # guard the division
     teacher_scores = (jnp.sum(gold_log_probs * loss_mask[:, None, :], axis=2)
                       / denom[:, None])
     teacher_probs = jax.nn.softmax(teacher_scores, axis=1)
     teacher_log_probs = jax.nn.log_softmax(teacher_scores, axis=1)
     kl = jnp.sum(teacher_probs * (teacher_log_probs - topk_log_probs), axis=1)
-    return jnp.mean(kl)
+    # a row with zero unmasked tokens carries no supervision: exclude it
+    # entirely (a clamped denominator alone would leave a uniform teacher,
+    # still pushing the retriever toward uniform for that query)
+    kl = jnp.where(row_tokens > 0, kl, 0.0)
+    return jnp.sum(kl) / jnp.maximum(jnp.sum(row_tokens > 0), 1)
 
 
 def emdr2_total_loss(lm_logits, topk_log_probs, gold_log_probs, labels,
@@ -194,7 +199,10 @@ def vocab_parallel_cross_entropy(logits, labels, mesh):
     """
     from jax.sharding import PartitionSpec as P
     dp_ax, tp_ax = mesh.axis_names
-    v_local_total = logits.shape[-1]
+    if logits.shape[-1] % mesh.shape[tp_ax]:
+        raise ValueError(
+            f"vocab axis {logits.shape[-1]} must divide over tp="
+            f"{mesh.shape[tp_ax]} (pad the vocab to a tp multiple)")
 
     def local(lg, lb):
         r = jax.lax.axis_index(tp_ax)

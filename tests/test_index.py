@@ -91,6 +91,28 @@ class TestShardedIndex:
             np.asarray(vals),
             np.tile(-(n - expect).astype(np.float32), (4, 1)), rtol=1e-5)
 
+    def test_negative_scores_exact_path(self, mesh):
+        """Same displacement scenario through the exact/small-shard branch
+        (cfg.exact=True): pad rows must be masked BEFORE lax.top_k — the
+        old post-hoc guard demoted them but could not recover the real
+        rows they displaced from the per-shard top-k."""
+        n, d, k = 1000, 32, 5
+        u = np.zeros(d, np.float32)
+        u[0] = 1.0
+        emb = -np.arange(n, 0, -1, dtype=np.float32)[:, None] * u[None, :]
+        q = u[None, :].repeat(4, axis=0)
+        idx = ShardedEvidenceIndex(mesh, make_cfg(exact=True), emb)
+        assert idx.n_padded != idx.n_real  # the case under test
+        vals, rows = idx.search(jnp.asarray(q), k=k)
+        # exact search: the true global top-k, all on the pad-carrying
+        # last shard
+        expect = np.arange(999, 994, -1)
+        np.testing.assert_array_equal(np.asarray(rows),
+                                      np.tile(expect, (4, 1)))
+        np.testing.assert_allclose(
+            np.asarray(vals),
+            np.tile(-(n - expect).astype(np.float32), (4, 1)), rtol=1e-5)
+
     def test_passage_id_lookup(self, mesh):
         n, d = 64, 32
         emb = np.eye(n, d, dtype=np.float32)
