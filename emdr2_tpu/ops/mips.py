@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,6 +46,41 @@ NEG_INF = float(-3.0e38)
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def quantize_int8(emb, group_size: int = 128):
+    """Symmetric int8 quantization with one fp32 scale per ``group_size``
+    consecutive rows — the same 128-row groups the fused kernel reduces
+    over, so the kernel can max/argmax raw int32 MXU scores and the scale
+    multiply touches only the per-group winners (outside the kernel).
+
+    emb [N, d] float (np or jnp; N % group_size == 0) ->
+      (q [N, d] int8, scales [N // group_size] fp32)
+
+    row ≈ q_row * scales[row // group_size]. All-zero groups get scale 1.0
+    (NOT a tiny epsilon) so NEG_INF-masked pad candidates stay hugely
+    negative after the scale multiply.
+
+    Memory: 768-d bf16 rows -> int8 + 1/128 fp32 halves the index HBM
+    (2 GB -> 1 GB per chip at the 21M/16 shard scale). Compute: the MXU's
+    int8 path is 2x the bf16 rate on v5e (394 vs 197 Tops peak).
+    """
+    xp = jnp if isinstance(emb, jnp.ndarray) else np
+    n, d = emb.shape
+    assert n % group_size == 0, (n, group_size)
+    e = emb.astype(xp.float32)
+    maxabs = xp.max(xp.abs(e.reshape(n // group_size, -1)), axis=1)
+    scales = xp.where(maxabs > 0, maxabs / 127.0, 1.0).astype(xp.float32)
+    per_row = xp.repeat(scales, group_size)
+    q = xp.clip(xp.round(e / per_row[:, None]), -127, 127).astype(xp.int8)
+    return q, scales
+
+
+def dequantize_int8(q, scales, group_size: int = 128):
+    """Inverse of :func:`quantize_int8` -> fp32 [N, d]."""
+    xp = jnp if isinstance(q, jnp.ndarray) else np
+    per_row = xp.repeat(scales.astype(xp.float32), group_size)
+    return q.astype(xp.float32) * per_row[:, None]
 
 
 def row_alignment(chunk_rows: int = 8192, group_size: int = 128) -> int:
@@ -94,12 +130,20 @@ def _mips_candidates_kernel(n_valid_ref, q_ref, e_ref, *refs,
     j = pl.program_id(chunk_dim)
     chunk_start = j * chunk_rows
 
-    # [TQ, C] fp32 scores on the MXU
+    # [TQ, C] scores on the MXU. int8 evidence runs the MXU's 2x-rate int8
+    # path with exact int32 accumulation; the per-group scales are applied
+    # to the group WINNERS outside the kernel (quantize_int8's contract).
+    # The immediate f32 cast is LOSSLESS (|int32 dot| <= 768*127^2 = 12.4M
+    # < 2^24) and lets the reduction reuse the float path — Mosaic's
+    # argmax lowering is f32-only anyway.
+    quantized = e_ref.dtype == jnp.int8
     s = jax.lax.dot_general(
         q_ref[:], e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if quantized else jnp.float32,
     )
+    if quantized:
+        s = s.astype(jnp.float32)
 
     # Mask rows past the true shard length (shard is padded to a chunk
     # multiple by the wrapper). Skipped entirely when the shard length is
@@ -260,6 +304,7 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
               group_size: int = 128, query_tile: int = 512,
               cands_per_group: int = 2,
               n_valid=None,
+              shard_scales: Optional[jnp.ndarray] = None,
               interpret: Optional[bool] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner-product search of ``queries`` [nq, d] against a local
@@ -278,6 +323,18 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     are negative. Costs the ~8% iota+where mask, so pass it only when the
     shard actually has such rows.
 
+    ``shard_scales`` (required iff ``shard.dtype == int8``): the per-group
+    fp32 scales from :func:`quantize_int8` (group == ``group_size``; N must
+    divide by it). Queries are quantized per-query symmetric int8 inside;
+    the kernel runs the MXU's 2x-rate int8 path on raw int32 scores, and
+    the group + query scales are applied to the per-group winners only —
+    a [nq, cands*N/G] elementwise multiply, ~0.1% of the scan FLOPs.
+    Measured on v5e at the 1.31M-row shard scale: throughput ~ties the
+    bf16 kernel (the VPU reduction, not the MXU scan, is the bottleneck,
+    so the int8 MXU rate doesn't show end-to-end) at HALF the index HBM;
+    ~0.1% relative score error, top-20 recall 0.975 on worst-case
+    tightly-packed random scores (1.000 for bf16).
+
     Designed to be called inside jit/shard_map. Pads nq, N and d as needed;
     padding never changes results (zero-padded d contributes 0 to dots,
     padded rows score -inf).
@@ -285,7 +342,16 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     nq, d = queries.shape
     n, d2 = shard.shape
     assert d == d2, (queries.shape, shard.shape)
-    if exact or n <= chunk_rows:
+    quantized = shard.dtype == jnp.int8
+    if quantized:
+        assert shard_scales is not None, "int8 shard requires shard_scales"
+        assert n % group_size == 0, (n, group_size)
+        assert shard_scales.shape == (n // group_size,), shard_scales.shape
+    small = exact or n <= chunk_rows or (
+        quantized and cands_per_group * (n // group_size) < k)
+    if small:
+        if quantized:
+            shard = dequantize_int8(shard, shard_scales, group_size)
         return exact_topk(queries, shard, k, n_valid=n_valid)
 
     if interpret is None:
@@ -305,14 +371,31 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     n_groups = chunk_rows // group_size
     chunks_per_block = max(1, _OUT_COLS // n_groups)
     n_pad = _round_up(n, chunk_rows * chunks_per_block)
-    q = queries.astype(shard.dtype)
+    if quantized:
+        # per-query symmetric quantization (error symmetric to the rows')
+        qf = queries.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(qf / q_scale[:, None]),
+                     -127, 127).astype(jnp.int8)
+    else:
+        q = queries.astype(shard.dtype)
     if d_pad != d:
         q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
         shard = jnp.pad(shard, ((0, 0), (0, d_pad - d)))
     if nq_pad != nq:
         q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
+        if quantized:
+            q_scale = jnp.pad(q_scale, (0, nq_pad - nq),
+                              constant_values=1.0)
     if n_pad != n:
         shard = jnp.pad(shard, ((0, n_pad - n), (0, 0)))
+        if quantized:
+            # pad groups get scale 1.0 (large vs typical maxabs/127 scales)
+            # so INT_NEG-masked candidates stay hugely negative after the
+            # scale multiply — see quantize_int8
+            shard_scales = jnp.pad(
+                shard_scales, (0, (n_pad - n) // group_size),
+                constant_values=1.0)
 
     masked = (n_pad != n) if n_valid is None else True
     nv = n if n_valid is None else jnp.minimum(
@@ -320,6 +403,12 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     cand_vals, cand_idx = _candidate_scan(
         q, shard, nv, chunk_rows, group_size, query_tile, interpret,
         cands_per_group=cands_per_group, masked=masked)
+
+    if quantized:
+        # candidate column c holds group (c % n_pad/G) of candidate rank
+        # (c // n_pad/G) — apply group scale per column, query scale per row
+        gscale = jnp.tile(shard_scales, cands_per_group)
+        cand_vals = cand_vals * gscale[None, :] * q_scale[:, None]
 
     vals, pos = jax.lax.top_k(cand_vals, k)          # [nq_pad, k]
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
@@ -331,6 +420,7 @@ def sharded_mips_topk(local_queries: jnp.ndarray, local_shard: jnp.ndarray,
                       exact: bool = False, chunk_rows: int = 8192,
                       group_size: int = 128, query_tile: int = 128,
                       cands_per_group: int = 2,
+                      local_scales: Optional[jnp.ndarray] = None,
                       interpret: Optional[bool] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed MIPS inside ``shard_map`` over ``axis_name``.
@@ -355,6 +445,7 @@ def sharded_mips_topk(local_queries: jnp.ndarray, local_shard: jnp.ndarray,
                           chunk_rows=chunk_rows, group_size=group_size,
                           query_tile=query_tile,
                           cands_per_group=cands_per_group,
+                          shard_scales=local_scales,
                           interpret=interpret)
     # local row ids -> global ids (shards laid out contiguously)
     idx = idx + rank * shard_rows

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from emdr2_tpu.config import IndexConfig
-from emdr2_tpu.ops.mips import mips_topk, row_alignment
+from emdr2_tpu.ops.mips import mips_topk, quantize_int8, row_alignment
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,7 +58,18 @@ class ShardedEvidenceIndex:
         self.n_padded = shard_rows * self.n_devices
         self.shard_rows = shard_rows
 
+        assert cfg.quantize in ("none", "int8"), cfg.quantize
+        self.quantized = cfg.quantize == "int8"
+        if self.quantized:
+            # scales are one-per-group_size-rows; the kernel-aligned shard
+            # layout guarantees divisibility
+            assert shard_rows % cfg.group_size == 0, (shard_rows,
+                                                      cfg.group_size)
+        self.scales: Optional[jax.Array] = None
+
         self._sharding = NamedSharding(mesh, P(mesh.axis_names, None))
+        self._scale_sharding = NamedSharding(mesh, P(mesh.axis_names))
+        self._quantize_jit = None
         self.embeddings = self._to_device(embeddings)
         if passage_ids is None:
             passage_ids = np.arange(1, n + 1, dtype=np.int64)
@@ -72,11 +83,27 @@ class ShardedEvidenceIndex:
         n, d = embeddings.shape
         dtype = self.cfg.dtype
 
+        if self.quantized:
+            g = self.cfg.group_size
+            # quantize once on host (pad the tail group with zeros — they
+            # quantize to 0 and the group scale comes from the real rows)
+            n_q = _round_up(n, g)
+            src = embeddings
+            if n_q != n:
+                src = np.zeros((n_q, d), np.float32)
+                src[:n] = embeddings
+            q8, scales = quantize_int8(np.asarray(src, np.float32), g)
+            old_scales = self.scales
+            self.scales = self._scales_to_device(scales)
+            if old_scales is not None:
+                old_scales.delete()
+            embeddings, dtype, n = q8, jnp.int8, n_q
+
         def shard_cb(index):
             # index is a tuple of slices into the padded [n_padded, d] array
             rows = index[0]
             start, stop = rows.start or 0, rows.stop or self.n_padded
-            block = np.zeros((stop - start, d), np.float32)
+            block = np.zeros((stop - start, d), embeddings.dtype)
             src_stop = min(stop, n)
             if src_stop > start:
                 block[: src_stop - start] = embeddings[start:src_stop]
@@ -84,6 +111,53 @@ class ShardedEvidenceIndex:
 
         return jax.make_array_from_callback(
             (self.n_padded, d), self._sharding, shard_cb)
+
+    def _scales_to_device(self, scales: np.ndarray) -> jax.Array:
+        """Place host per-group scales, padded with 1.0 (all-pad groups must
+        keep NEG_INF-masked candidates hugely negative after scaling)."""
+        g = self.cfg.group_size
+        n_groups = self.n_padded // g
+
+        def cb(index):
+            rows = index[0]
+            start = rows.start or 0
+            stop = rows.stop if rows.stop is not None else n_groups
+            block = np.ones(stop - start, np.float32)
+            have = min(stop, scales.shape[0]) - start
+            if have > 0:
+                block[:have] = scales[start:start + have]
+            return jnp.asarray(block)
+
+        return jax.make_array_from_callback(
+            (n_groups,), self._scale_sharding, cb)
+
+    def _scales_from_local(self, local_scales: np.ndarray,
+                           start_group: int) -> jax.Array:
+        """Per-process variant of :meth:`_scales_to_device`: ``local_scales``
+        covers this process's full group range starting at ``start_group``;
+        other processes build their own blocks — no cross-host traffic."""
+        n_groups = self.n_padded // self.cfg.group_size
+
+        def cb(index):
+            rows = index[0]
+            s = rows.start or 0
+            e = rows.stop if rows.stop is not None else n_groups
+            return jnp.asarray(
+                local_scales[s - start_group: e - start_group],
+                jnp.float32)
+
+        return jax.make_array_from_callback(
+            (n_groups,), self._scale_sharding, cb)
+
+    def _dummy_scales(self) -> jax.Array:
+        """One-fp32-per-device placeholder fed to the search program when the
+        index is unquantized (shard_map needs a concrete operand; the kernel
+        never reads it and XLA dead-code-eliminates it)."""
+        if getattr(self, "_dummy", None) is None:
+            self._dummy = jax.make_array_from_callback(
+                (self.n_devices,), self._scale_sharding,
+                lambda index: jnp.ones(1, jnp.float32))
+        return self._dummy
 
     def update(self, embeddings: np.ndarray,
                passage_ids: Optional[np.ndarray] = None) -> None:
@@ -126,6 +200,19 @@ class ShardedEvidenceIndex:
         assert local_rows.shape[0] <= stop - start
         dtype = self.cfg.dtype
 
+        if self.quantized:
+            g = self.cfg.group_size
+            # quantize this process's full row block (zero tail rows form
+            # all-zero groups -> scale 1.0, quantize_int8's contract)
+            full = np.zeros((stop - start, d), np.float32)
+            full[: local_rows.shape[0]] = local_rows
+            q8, local_scales = quantize_int8(full, g)
+            old_scales = self.scales
+            self.scales = self._scales_from_local(local_scales, start // g)
+            if old_scales is not None:
+                old_scales.delete()
+            local_rows, dtype = q8, jnp.int8
+
         def shard_cb(index):
             rows = index[0]
             s = rows.start or 0
@@ -133,7 +220,7 @@ class ShardedEvidenceIndex:
             assert start <= s and e <= stop, (
                 "addressable shard outside this process's row range — "
                 "device order is not process-contiguous")
-            block = np.zeros((e - s, d), np.float32)
+            block = np.zeros((e - s, d), local_rows.dtype)
             have = min(e, start + local_rows.shape[0]) - s
             if have > 0:
                 block[:have] = local_rows[s - start: s - start + have]
@@ -148,8 +235,25 @@ class ShardedEvidenceIndex:
 
     def swap_device_array(self, new_embeddings: jax.Array) -> None:
         """Swap in an already-on-device (correctly sharded) matrix — the
-        zero-copy path used by the async embedder sub-mesh."""
+        zero-copy path used by the async embedder sub-mesh. With an int8
+        index the float slab is quantized in one jitted device pass
+        (reads bf16, writes int8 + per-group scales; still no host bounce).
+        """
         assert new_embeddings.shape == (self.n_padded, self.cfg.embed_dim)
+        if self.quantized:
+            if self._quantize_jit is None:
+                g = self.cfg.group_size
+                self._quantize_jit = jax.jit(
+                    lambda e: quantize_int8(e, g),
+                    out_shardings=(self._sharding, self._scale_sharding))
+            q8, sc = self._quantize_jit(
+                jax.device_put(new_embeddings, self._sharding))
+            old, old_sc = self.embeddings, self.scales
+            self.embeddings, self.scales = q8, sc
+            old.delete()
+            if old_sc is not None:
+                old_sc.delete()
+            return
         old = self.embeddings
         self.embeddings = jax.device_put(new_embeddings, self._sharding)
         if old is not new_embeddings:
@@ -166,8 +270,9 @@ class ShardedEvidenceIndex:
         interpret = jax.default_backend() == "cpu"
         n_real = self.n_real
         n_padded = self.n_padded
+        quantized = self.quantized
 
-        def local_search(q_local, shard_local):
+        def local_search(q_local, shard_local, scales_local):
             # flattened device rank in row-major (dp, tp) order
             rank = jax.lax.axis_index(axes)
             if queries_sharded:
@@ -186,7 +291,8 @@ class ShardedEvidenceIndex:
                 chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
                 query_tile=cfg.query_tile,
                 cands_per_group=getattr(cfg, "cands_per_group", 2),
-                n_valid=n_valid, interpret=interpret)
+                n_valid=n_valid, interpret=interpret,
+                shard_scales=scales_local if quantized else None)
             idx = idx + rank * shard_rows
             # guard padded rows (zero vectors can outscore negatives):
             vals = jnp.where(idx < n_real, vals, -3.0e38)
@@ -210,7 +316,7 @@ class ShardedEvidenceIndex:
         out_spec = (q_spec, q_spec)
         f = jax.shard_map(
             local_search, mesh=mesh,
-            in_specs=(q_spec, P(axes, None)),
+            in_specs=(q_spec, P(axes, None), P(axes)),
             out_specs=out_spec, check_vma=False)
         return jax.jit(f)
 
@@ -224,8 +330,12 @@ class ShardedEvidenceIndex:
         key = (k, queries_sharded)
         if key not in self._search_fns:
             self._search_fns[key] = self._build_search(k, queries_sharded)
-        q = jnp.asarray(query_embeds, self.cfg.dtype)
-        return self._search_fns[key](q, self.embeddings)
+        # int8 index: keep queries fp32 — mips_topk quantizes them per-query
+        # inside; casting to the storage dtype first would double the error
+        q = jnp.asarray(
+            query_embeds, jnp.float32 if self.quantized else self.cfg.dtype)
+        scales = self.scales if self.quantized else self._dummy_scales()
+        return self._search_fns[key](q, self.embeddings, scales)
 
     def lookup_passage_ids(self, rows) -> np.ndarray:
         """Vectorized row -> passage-id mapping on host."""

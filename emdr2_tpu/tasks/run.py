@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--allow-trivial-doc", action="store_true", default=True)
     g.add_argument("--async-indexer", action="store_true")
     g.add_argument("--index-reload-interval", type=int, default=500)
+    g.add_argument("--index-quantize", choices=["none", "int8"],
+                   default="none",
+                   help="int8: store the MIPS index as int8 rows + per-128-"
+                        "row fp32 scales — halves index HBM at ~the same "
+                        "search throughput (~0.1%% score error)")
 
     g = p.add_argument_group("training")
     g.add_argument("--batch-size", type=int, default=8,
@@ -158,7 +163,8 @@ def make_config(args):
             decoder_seq_len=args.seq_length_dec),
         index=C.IndexConfig(
             embed_dim=args.hidden_size, topk=args.topk_retrievals,
-            allow_trivial_doc=args.allow_trivial_doc),
+            allow_trivial_doc=args.allow_trivial_doc,
+            quantize=args.index_quantize),
         mesh=C.MeshConfig(
             dp=args.dp or max(1, (len(jax.devices()) - args.embed_devices)
                               // args.tp),

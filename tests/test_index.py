@@ -172,3 +172,83 @@ class TestEmbeddingStore:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestQuantizedIndex:
+    """IndexConfig(quantize="int8"): int8 rows + per-group fp32 scales,
+    threaded through the shard_map search program."""
+
+    def test_search_matches_fp32_index(self, mesh):
+        rng = np.random.RandomState(10)
+        n, d, k = 1024, 32, 5
+        emb = rng.randn(n, d).astype(np.float32)
+        q = rng.randn(16, d).astype(np.float32)
+        ref = ShardedEvidenceIndex(mesh, make_cfg(group_size=8), emb)
+        q_idx = ShardedEvidenceIndex(
+            mesh, make_cfg(group_size=8, quantize="int8"), emb)
+        assert q_idx.embeddings.dtype == jnp.int8
+        assert q_idx.scales is not None
+        rv, rr = ref.search(jnp.asarray(q), k=k)
+        qv, qr = q_idx.search(jnp.asarray(q), k=k)
+        recall = np.mean([
+            len(set(np.asarray(qr)[i]) & set(np.asarray(rr)[i])) / k
+            for i in range(q.shape[0])
+        ])
+        assert recall >= 0.9, recall
+        # scores approximate fp32 scores within int8 error
+        scores = q @ emb.T
+        true = np.take_along_axis(scores, np.asarray(qr), 1)
+        assert np.abs(np.asarray(qv) - true).max() <= 0.02 * np.abs(
+            scores).max()
+
+    def test_update_requantizes(self, mesh):
+        rng = np.random.RandomState(11)
+        n, d = 512, 32
+        emb = rng.randn(n, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(
+            mesh, make_cfg(group_size=8, quantize="int8"), emb)
+        old_scales = idx.scales
+        emb2 = 3.0 * rng.randn(n, d).astype(np.float32)
+        idx.update(emb2)
+        assert idx.scales is not old_scales
+        q = rng.randn(4, d).astype(np.float32)
+        _, rows = idx.search(jnp.asarray(q), k=3)
+        # returned top-1's true score within int8 error of the true max
+        # (exact-rank equality is brittle when true top-2 nearly tie)
+        s = q @ emb2.T
+        top1 = np.take_along_axis(s, np.asarray(rows)[:, :1], 1)[:, 0]
+        assert (s.max(1) - top1 <= 0.01 * np.abs(s).max()).all()
+
+    def test_swap_device_array_quantizes_on_device(self, mesh):
+        rng = np.random.RandomState(12)
+        n, d = 512, 32
+        emb = rng.randn(n, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(
+            mesh, make_cfg(group_size=8, quantize="int8"), emb)
+        fresh = rng.randn(idx.n_padded, d).astype(np.float32)
+        fresh[idx.n_real:] = 0.0
+        dev = jax.device_put(jnp.asarray(fresh), idx._sharding)
+        idx.swap_device_array(dev)
+        assert idx.embeddings.dtype == jnp.int8
+        q = rng.randn(4, d).astype(np.float32)
+        _, rows = idx.search(jnp.asarray(q), k=3)
+        s = q @ fresh[:n].T
+        top1 = np.take_along_axis(s, np.asarray(rows)[:, :1], 1)[:, 0]
+        assert (s.max(1) - top1 <= 0.01 * np.abs(s).max()).all()
+
+    def test_update_from_process_local_quantized(self, mesh):
+        """Per-process refresh path quantizes its own row block — scales
+        land sharded with no cross-host traffic (single process here, but
+        the same code path runs per-host)."""
+        rng = np.random.RandomState(13)
+        n, d = 512, 32
+        emb = rng.randn(n, d).astype(np.float32)
+        idx = ShardedEvidenceIndex(
+            mesh, make_cfg(group_size=8, quantize="int8"), emb)
+        emb2 = rng.randn(n, d).astype(np.float32)
+        idx.update_from_process_local(emb2)
+        q = rng.randn(4, d).astype(np.float32)
+        _, rows = idx.search(jnp.asarray(q), k=3)
+        s = q @ emb2.T
+        top1 = np.take_along_axis(s, np.asarray(rows)[:, :1], 1)[:, 0]
+        assert (s.max(1) - top1 <= 0.01 * np.abs(s).max()).all()

@@ -204,3 +204,103 @@ class TestShapeRobustness:
         keep = min(3, n_valid)
         np.testing.assert_array_equal(np.asarray(idx)[:, :keep],
                                       ni[:, :keep])
+
+
+class TestInt8:
+    """Quantized-index path: per-group symmetric int8 rows + fp32 scales
+    (ops/mips.quantize_int8). The kernel scores raw int8 dots on the MXU
+    and the group/query scales touch only the per-group winners."""
+
+    def test_quantize_roundtrip_error_bound(self):
+        from emdr2_tpu.ops.mips import dequantize_int8, quantize_int8
+        rng = np.random.RandomState(0)
+        e = rng.randn(512, 48).astype(np.float32)
+        q8, scales = quantize_int8(e, group_size=64)
+        assert q8.dtype == np.int8 and scales.shape == (8,)
+        back = dequantize_int8(q8, scales, 64)
+        # per-component error <= scale/2 = maxabs/254
+        maxabs = np.abs(e.reshape(8, -1)).max(1)
+        bound = np.repeat(maxabs / 254.0 + 1e-7, 64)[:, None]
+        assert (np.abs(back - e) <= bound).all()
+
+    def test_all_zero_group_gets_scale_one(self):
+        from emdr2_tpu.ops.mips import quantize_int8
+        e = np.zeros((128, 16), np.float32)
+        e[64:] = np.random.RandomState(1).randn(64, 16)
+        q8, scales = quantize_int8(e, group_size=64)
+        assert scales[0] == 1.0 and scales[1] > 0
+        assert (q8[:64] == 0).all()
+
+    def test_fused_int8_matches_exact(self):
+        """Fused kernel on an int8 shard: high recall vs exact fp32 top-k,
+        scores within quantization error."""
+        from emdr2_tpu.ops.mips import quantize_int8
+        rng = np.random.RandomState(2)
+        n, d, k = 4096, 64, 8
+        q = rng.randn(24, d).astype(np.float32)
+        e = rng.randn(n, d).astype(np.float32)
+        q8, scales = quantize_int8(e, group_size=16)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(q8), k,
+                              chunk_rows=512, group_size=16, query_tile=8,
+                              shard_scales=jnp.asarray(scales),
+                              interpret=True)
+        _, ni = np_topk(q, e, k)
+        recall = np.mean([
+            len(set(np.asarray(idx)[i]) & set(ni[i])) / k
+            for i in range(q.shape[0])
+        ])
+        assert recall >= 0.9, recall
+        # returned scores approximate the true inner products of the
+        # returned rows to within the int8 error (~1% at this d)
+        true_scores = np.take_along_axis(
+            q @ e.T, np.asarray(idx), axis=1)
+        err = np.abs(np.asarray(vals) - true_scores)
+        assert err.max() <= 0.02 * np.abs(q @ e.T).max(), err.max()
+
+    def test_int8_pad_rows_never_displace_negatives(self):
+        """All-negative true scores + zero-pad tail: pad groups carry scale
+        1.0 so in-kernel NEG_INF masking survives the scale multiply."""
+        from emdr2_tpu.ops.mips import quantize_int8
+        rng = np.random.RandomState(3)
+        n, d, k = 1000, 32, 5            # pads to 1024 inside
+        anchor = rng.randn(d).astype(np.float32)
+        q = -np.abs(rng.rand(6, 1)).astype(np.float32) * anchor[None, :]
+        e = np.abs(rng.rand(n, 1)).astype(np.float32) * anchor[None, :]
+        e += 0.01 * rng.randn(n, d).astype(np.float32)
+        q8, scales = quantize_int8(
+            np.pad(e, ((0, 24), (0, 0))), group_size=8)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(q8), k,
+                              chunk_rows=256, group_size=8, query_tile=8,
+                              shard_scales=jnp.asarray(scales),
+                              n_valid=n, interpret=True)
+        assert (np.asarray(idx) < n).all()
+        assert (np.asarray(vals) < 0).all()
+
+    def test_sharded_int8(self):
+        """sharded_mips_topk threads local_scales through shard_map."""
+        from emdr2_tpu.ops.mips import quantize_int8
+        rng = np.random.RandomState(4)
+        w = jax.device_count()
+        n_per, d, k, b = 512, 32, 4, 4
+        e = rng.randn(w * n_per, d).astype(np.float32)
+        q = rng.randn(w * b, d).astype(np.float32)
+        q8, scales = quantize_int8(e, group_size=8)
+        mesh = Mesh(np.array(jax.devices()), ("x",))
+
+        def body(lq, ls, lsc):
+            return sharded_mips_topk(lq, ls, k, "x", chunk_rows=128,
+                                     group_size=8, query_tile=8,
+                                     local_scales=lsc, interpret=True)
+
+        f = shard_map(
+            body,
+            mesh=mesh, in_specs=(P("x", None), P("x", None), P("x")),
+            out_specs=(P("x", None), P("x", None)), check_vma=False)
+        vals, idx = jax.jit(f)(jnp.asarray(q), jnp.asarray(q8),
+                               jnp.asarray(scales))
+        _, ni = np_topk(q, e, k)
+        recall = np.mean([
+            len(set(np.asarray(idx)[i]) & set(ni[i])) / k
+            for i in range(q.shape[0])
+        ])
+        assert recall >= 0.9, recall
