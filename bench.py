@@ -78,7 +78,8 @@ def bench_mips(on_cpu: bool):
     return nq / dt
 
 
-def flagship_step_config(B: int = 4, K: int = 50):
+def flagship_step_config(B: int = 4, K: int = 50,
+                         remat_policy: str = "nothing"):
     """The flagship NQ recipe exactly as examples/openqa/emdr2_nq.sh runs it:
     BERT-base retriever + T5-base FiD reader, seq 512/256/32, flash attention
     everywhere + per-layer remat, bf16 compute / fp32 params+adam."""
@@ -89,23 +90,26 @@ def flagship_step_config(B: int = 4, K: int = 50):
         retriever=dataclasses.replace(
             cfg.retriever,
             encoder=dataclasses.replace(cfg.retriever.encoder, remat=True,
+                                        remat_policy=remat_policy,
                                         fid_flash_attention=True)),
         reader=dataclasses.replace(
             cfg.reader,
             transformer=dataclasses.replace(
                 cfg.reader.transformer, remat=True,
+                remat_policy=remat_policy,
                 fid_flash_attention=True)),
         index=dataclasses.replace(cfg.index, topk=K),
     )
 
 
-def make_flagship_step(B: int = 4, K: int = 50):
+def make_flagship_step(B: int = 4, K: int = 50,
+                       remat_policy: str = "nothing"):
     """(compiled_step, state, batch) for the flagship shape — shared by
     bench.py and warmup so the persistent compile cache always hits."""
     from emdr2_tpu.models import EMDR2Batch, EMDR2Model
     from emdr2_tpu.training import step as step_lib
 
-    cfg = flagship_step_config(B, K)
+    cfg = flagship_step_config(B, K, remat_policy)
     rng = np.random.RandomState(0)
 
     def ids(*shape):

@@ -48,6 +48,13 @@ class TransformerConfig:
     # Dormant-at-runtime TP in the reference (dualencoder_model.py:15 asserts MP==1)
     # is first-class here: logical axis names resolved against the mesh.
     remat: bool = False              # activation checkpointing (transformer.py:621-646)
+    # What the per-layer checkpoint saves. "nothing" (the default) is the
+    # reference-equivalent full recompute — minimum HBM, backward re-runs
+    # the forward (~4/3x model FLOPs). "dots_no_batch" saves the projection
+    # and MLP matmul outputs (dots with no batch dims) so the backward only
+    # recomputes attention — ~25% less recompute for ~seq*hidden-per-layer
+    # extra HBM; use when the chip has headroom (e.g. v5p, or B below 4).
+    remat_policy: str = "nothing"    # nothing | dots_no_batch
     # Layer parameter sharing (transformer.py:594-616): None = no sharing.
     num_unique_layers: Optional[int] = None
     param_sharing_style: str = "grouped"  # grouped | spaced

@@ -457,10 +457,15 @@ class TransformerStack(nn.Module):
         cfg = self.config
         layer_cls = TransformerLayer
         if cfg.remat and not decode:
+            policy = {
+                "nothing": jax.checkpoint_policies.nothing_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[cfg.remat_policy]
             layer_cls = nn.remat(
                 TransformerLayer,
                 static_argnums=(5, 6),
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=policy,
             )
         n_unique = cfg.num_unique_layers or cfg.num_layers
         assert cfg.num_layers % n_unique == 0

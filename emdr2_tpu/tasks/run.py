@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seq-length-dec", type=int, default=32)
     g.add_argument("--remat", action="store_true",
                    help="activation checkpointing in the transformer stacks")
+    g.add_argument("--remat-policy", choices=["nothing", "dots_no_batch"],
+                   default="nothing",
+                   help="what the per-layer checkpoint saves: 'nothing' = "
+                        "full recompute (minimum HBM), 'dots_no_batch' = "
+                        "save projection/MLP matmul outputs so backward "
+                        "only recomputes attention (needs HBM headroom)")
     g.add_argument("--fid-flash-attention", action="store_true",
                    help="Pallas flash kernel for FiD decoder cross-attention "
                         "AND all padding-masked encoder self-attention "
@@ -150,7 +156,7 @@ def make_config(args):
     enc = C.TransformerConfig(
         hidden_size=args.hidden_size, num_layers=args.num_layers,
         num_heads=args.num_attention_heads, ffn_size=args.ffn_hidden_size,
-        num_tokentypes=2, remat=args.remat,
+        num_tokentypes=2, remat=args.remat, remat_policy=args.remat_policy,
         fid_flash_attention=args.fid_flash_attention,
         flash_key_chunk=args.flash_key_chunk)
     t5c = dataclasses.replace(enc, num_tokentypes=0)

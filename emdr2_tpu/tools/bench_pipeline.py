@@ -55,6 +55,180 @@ def build_world(cache: pathlib.Path, n_docs: int, doc_len=30, title_len=4):
                           MMapIndexedDataset(title_p))
 
 
+def bench_refresh(n_docs: int, iters: int = 3):
+    """Index hot-swap wall time at the per-chip shard scale (1.31M x 768).
+
+    Times BOTH refresh paths of ``ShardedEvidenceIndex``:
+      - ``update()``        — host np.ndarray in, ~2 GB H2D per chip (the
+                              multi-host / host-snapshot path)
+      - ``swap_device_array`` — already-on-device slab, device-to-device
+                              (the zero-copy async-embedder path,
+                              training/async_refresh.py:131)
+    The reference's equivalent is delete-shards / re-unpickle a 32 GB
+    pickle / re-shard over 16 GPUs (emdr2_index.py:232-266), i.e. minutes;
+    here the swap must be invisible next to a ~1.4 s train step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from emdr2_tpu.config import IndexConfig
+    from emdr2_tpu.parallel.mesh import build_mesh
+    from emdr2_tpu.retrieval.index import ShardedEvidenceIndex
+
+    mesh = build_mesh()
+    cfg = IndexConfig()
+    d = cfg.embed_dim
+    rng = np.random.RandomState(0)
+    host = rng.standard_normal((n_docs, d)).astype(np.float32)
+    index = ShardedEvidenceIndex(mesh, cfg, host)
+
+    def fence():
+        # force the swapped-in slab to exist on device (async dispatch +
+        # the remote-device tunnel make block_until_ready alone unreliable
+        # as a timing fence; a tiny host fetch of a dependent value is)
+        np.asarray(jnp.sum(index.embeddings[:1, :1]))
+
+    # host-array path — measured ONCE: it is H2D-bandwidth-bound (~2 GB/chip
+    # at flagship scale) and exists for multi-host / snapshot refresh; the
+    # async embedder uses the zero-copy path below
+    fence()
+    t0 = time.time()
+    index.update(host)
+    fence()
+    host_ms = (time.time() - t0) * 1000
+
+    # zero-copy path: fresh slab produced on device (as the embedder
+    # sub-mesh does), then swapped
+    sharding = index._sharding
+    make = jax.jit(
+        lambda k: jax.random.normal(k, (index.n_padded, d), jnp.bfloat16),
+        out_shardings=sharding)
+    slabs = [make(jax.random.PRNGKey(i)) for i in range(iters)]
+    jax.block_until_ready(slabs)
+    t0 = time.time()
+    for s in slabs:
+        index.swap_device_array(s)
+        fence()
+    dev_ms = (time.time() - t0) / iters * 1000
+
+    return {"rows": index.n_padded,
+            "update_host_ms": round(host_ms, 1),
+            "swap_device_ms": round(dev_ms, 1)}
+
+
+def bench_overlap(corpus, B: int, K: int, iters: int = 8):
+    """Full-iteration throughput with the prefetch pipeline engaged.
+
+    One EMDR2 training iteration = stage A (query embed + fused MIPS over
+    the resident 1.31M-row shard + host id readback) + stage B (C++ token
+    postprocess) + stage C (the flagship fused grad step). The engine's
+    ``prefetch_depth>0`` path builds batch N+1 on a background thread while
+    step N runs (training/prefetch.py); this bench measures the REAL
+    overlapped ms/iter against the serial A->B->C loop and the bare step,
+    at flagship scale on one chip — the VERDICT r2 item-5 'ms/iter ≈
+    ms/step' evidence.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from emdr2_tpu.config import EMDR2Config, bert_base
+    from emdr2_tpu.data.postprocess import postprocess_retrieved
+    from emdr2_tpu.models import EMDR2Batch
+    from emdr2_tpu.models.bert import BertEncoder
+    from emdr2_tpu.ops import mips_topk
+    from emdr2_tpu.training.prefetch import BatchPrefetcher
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    import bench as bench_mod
+
+    compiled, state, proto = bench_mod.make_flagship_step(B, K)
+    cfg = EMDR2Config()
+    icfg = cfg.index
+    kq = K + 1
+    rng = np.random.RandomState(3)
+    n_docs = len(corpus)
+
+    enc = BertEncoder(bert_base(fid_flash_attention=True))
+    Lq = proto.query_bert_ids.shape[1]
+    qids_h = rng.randint(5, 25000, size=(B, Lq)).astype(np.int32)
+    enc_params = enc.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(qids_h))
+    shard = jax.random.normal(jax.random.PRNGKey(1),
+                              (n_docs, 768), jnp.bfloat16)
+
+    @jax.jit
+    def stage_a(p, q, s):
+        emb = enc.apply(p, q, method=BertEncoder.embed)
+        return mips_topk(emb.astype(jnp.bfloat16), s, kq,
+                         chunk_rows=icfg.chunk_rows,
+                         group_size=icfg.group_size,
+                         query_tile=icfg.query_tile,
+                         cands_per_group=icfg.cands_per_group,
+                         interpret=jax.default_backend() == "cpu")
+
+    qt5 = rng.randint(5, 25000, size=(B, 64)).astype(np.int32)
+    qlens = np.full(B, 24, np.int32)
+    uids = -np.arange(1, B + 1)
+
+    class _Task:
+        def build_device_batch(self, qids):
+            _, rows = stage_a(enc_params, jnp.asarray(qids), shard)
+            pids = np.asarray(rows) + 1          # row -> 1-based passage id
+            post = postprocess_retrieved(
+                query_uids=uids, query_t5_ids=qt5, query_t5_lens=qlens,
+                topk_passage_ids=pids, corpus=corpus, topk=K,
+                retriever_seq_len=cfg.retriever.seq_len,
+                reader_seq_len=cfg.reader.seq_len,
+                cls_id=2, sep_id=3, pad_id=0)
+            return EMDR2Batch(
+                query_bert_ids=jnp.asarray(qids),
+                context_bert_ids=jnp.asarray(post.context_bert_ids),
+                context_bert_types=jnp.asarray(post.context_bert_types),
+                reader_ids=jnp.asarray(post.reader_ids),
+                reader_one_ctx_ids=jnp.asarray(post.reader_one_ctx_ids),
+                dec_ids=proto.dec_ids, labels=proto.labels,
+                loss_mask=proto.loss_mask)
+
+    task = _Task()
+
+    # bare step (the bench.py number, in-session for comparability)
+    state, m = compiled(state, proto)
+    np.asarray(m["loss"])
+    t0 = time.time()
+    for _ in range(3):
+        state, m = compiled(state, proto)
+    np.asarray(m["loss"])
+    step_ms = (time.time() - t0) / 3 * 1000
+
+    # serial A -> B -> C
+    b0 = task.build_device_batch(qids_h)         # warm stage-A compile
+    state, m = compiled(state, b0)
+    np.asarray(m["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = compiled(state, task.build_device_batch(qids_h))
+    np.asarray(m["loss"])
+    serial_ms = (time.time() - t0) / iters * 1000
+
+    # overlapped: prefetch thread builds batch N+1 during step N
+    feed = BatchPrefetcher(task, iter([qids_h] * (iters + 1)), depth=1)
+    state, m = compiled(state, next(feed))       # first batch: no overlap
+    np.asarray(m["loss"])
+    t0 = time.time()
+    n = 0
+    for db in feed:
+        state, m = compiled(state, db)
+        n += 1
+    np.asarray(m["loss"])
+    overlap_ms = (time.time() - t0) / n * 1000
+
+    return {"step_ms": round(step_ms, 1),
+            "serial_iter_ms": round(serial_ms, 1),
+            "overlap_iter_ms": round(overlap_ms, 1),
+            "overlap_overhead_ms": round(overlap_ms - step_ms, 1)}
+
+
 def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5):
     """Generation latency at flagship size: retrieval-conditioned FiD encode
     (K contexts) + KV-cached greedy decode of ``max_decode_len`` tokens —
@@ -122,9 +296,22 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--decode", action="store_true",
                    help="also measure FiD encode + greedy decode latency")
+    p.add_argument("--overlap", action="store_true",
+                   help="also measure the full overlapped iteration "
+                        "(prefetch pipeline: stage A+B hidden under step C)")
+    p.add_argument("--refresh", action="store_true",
+                   help="also measure index hot-swap wall time at shard "
+                        "scale (host update vs zero-copy device swap)")
     args = p.parse_args(argv)
 
     import jax
+
+    # amortize the flagship-step compile across runs (same cache bench.py uses)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     import jax.numpy as jnp
     from emdr2_tpu.config import EMDR2Config, bert_base
     from emdr2_tpu.data.postprocess import postprocess_retrieved
@@ -133,6 +320,22 @@ def main(argv=None):
 
     cache = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
     cache.mkdir(exist_ok=True)
+
+    if args.overlap or args.refresh:
+        # exclusive modes: each owns most of HBM at flagship scale, so they
+        # run instead of (not alongside) the standalone stage-A/B pass
+        result = {"n_docs": args.n_docs, "batch": args.batch,
+                  "topk": args.topk}
+        if args.overlap:
+            t0 = time.time()
+            corpus = build_world(cache, args.n_docs)
+            corpus.neighbour_table()
+            result["world_setup_s"] = round(time.time() - t0, 1)
+            result["overlap"] = bench_overlap(corpus, args.batch, args.topk)
+        if args.refresh:
+            result["refresh"] = bench_refresh(args.n_docs)
+        print(json.dumps(result))
+        return
 
     t0 = time.time()
     corpus = build_world(cache, args.n_docs)

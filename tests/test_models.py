@@ -215,5 +215,35 @@ class TestEMDR2:
         np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
 
 
+class TestRematPolicy:
+    """remat is a pure memory/FLOPs trade: every policy must produce the
+    same loss and gradients as the non-remat stack (config.remat_policy)."""
+
+    @pytest.mark.parametrize("policy", ["nothing", "dots_no_batch"])
+    def test_grads_match_no_remat(self, cfg, policy):
+        import dataclasses
+
+        ids = jnp.asarray(
+            np.random.RandomState(0).randint(2, 500, size=(2, 16)), jnp.int32)
+
+        def grads(enc_cfg):
+            model = BertEncoder(enc_cfg)
+            params = model.init(rngs(), ids)
+
+            def loss(p):
+                return jnp.sum(model.apply(p, ids, method=BertEncoder.embed))
+
+            return loss(params), jax.grad(loss)(params)
+
+        base_cfg = cfg.retriever.encoder
+        l0, g0 = grads(base_cfg)
+        l1, g1 = grads(dataclasses.replace(
+            base_cfg, remat=True, remat_policy=policy))
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
