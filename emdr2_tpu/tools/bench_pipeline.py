@@ -152,19 +152,40 @@ def bench_overlap(corpus, B: int, K: int, iters: int = 8):
     enc = BertEncoder(bert_base(fid_flash_attention=True))
     Lq = proto.query_bert_ids.shape[1]
     qids_h = rng.randint(5, 25000, size=(B, Lq)).astype(np.int32)
-    enc_params = enc.init({"params": jax.random.PRNGKey(0)},
-                          jnp.asarray(qids_h))
-    shard = jax.random.normal(jax.random.PRNGKey(1),
-                              (n_docs, 768), jnp.bfloat16)
+    # bf16 params: stage A is the SELECTION path only (scores are recomputed
+    # in fp32-master params inside the grad step), and the v5e has no room
+    # for an extra fp32 tower next to the flagship state + the 2 GB shard
+    # (measured: fp32 here OOMs the first step)
+    enc_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        enc.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(qids_h)))
+    enc_params = jax.block_until_ready(enc_params)
+
+    # int8 index shard (--index-quantize int8): the flagship step + a bf16
+    # 2 GB shard alone fill a 16 GB v5e (README coexistence row), so the
+    # overlap layout — which additionally keeps the stage-A query tower
+    # resident — uses the quantized index (1 GB, recall ~1.0 at
+    # cands_per_group=2). Built in row chunks to bound the fp32 transient.
+    from emdr2_tpu.ops.mips import quantize_int8
+    g = icfg.group_size
+    quant = jax.jit(lambda x: quantize_int8(x.astype(jnp.float32), g))
+    parts = [quant(jax.random.normal(jax.random.PRNGKey(100 + i),
+                                     (n_docs // 8, 768), jnp.bfloat16))
+             for i in range(8)]
+    shard = jnp.concatenate([p[0] for p in parts])
+    scales = jnp.concatenate([p[1] for p in parts])
+    del parts
+    jax.block_until_ready((shard, scales))
 
     @jax.jit
-    def stage_a(p, q, s):
+    def stage_a(p, q, s, sc):
         emb = enc.apply(p, q, method=BertEncoder.embed)
         return mips_topk(emb.astype(jnp.bfloat16), s, kq,
                          chunk_rows=icfg.chunk_rows,
                          group_size=icfg.group_size,
                          query_tile=icfg.query_tile,
                          cands_per_group=icfg.cands_per_group,
+                         shard_scales=sc,
                          interpret=jax.default_backend() == "cpu")
 
     qt5 = rng.randint(5, 25000, size=(B, 64)).astype(np.int32)
@@ -173,7 +194,7 @@ def bench_overlap(corpus, B: int, K: int, iters: int = 8):
 
     class _Task:
         def build_device_batch(self, qids):
-            _, rows = stage_a(enc_params, jnp.asarray(qids), shard)
+            _, rows = stage_a(enc_params, jnp.asarray(qids), shard, scales)
             pids = np.asarray(rows) + 1          # row -> 1-based passage id
             post = postprocess_retrieved(
                 query_uids=uids, query_t5_ids=qt5, query_t5_lens=qlens,
