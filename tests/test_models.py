@@ -215,6 +215,66 @@ class TestEMDR2:
         np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
 
 
+class TestPackedDropout:
+    """PackedDropout (models/layers.py): u16-threshold dropout must be an
+    exact inverted dropout at the quantized rate."""
+
+    def test_statistics_and_scale(self):
+        from emdr2_tpu.models.layers import PackedDropout
+
+        rate = 0.1
+        m = PackedDropout(rate)
+        x = jnp.ones((64, 4096), jnp.float32)
+        y = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+        y = np.asarray(y)
+        t = round(rate * 65536)
+        q_rate = t / 65536.0
+        scale = 65536.0 / (65536 - t)
+        # kept elements carry exactly the inverted-dropout scale
+        kept = y[y != 0]
+        np.testing.assert_allclose(kept, scale, rtol=1e-6)
+        # empirical drop rate matches the quantized rate (binomial 5-sigma)
+        drop = float((y == 0).mean())
+        sigma = (q_rate * (1 - q_rate) / y.size) ** 0.5
+        assert abs(drop - q_rate) < 5 * sigma, (drop, q_rate)
+        # expectation preserved to the same tolerance
+        np.testing.assert_allclose(y.mean(), 1.0, atol=6 * sigma * scale)
+
+    def test_deterministic_and_seeded(self):
+        from emdr2_tpu.models.layers import PackedDropout
+
+        m = PackedDropout(0.5)
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 256), jnp.float32)
+        assert np.array_equal(np.asarray(m.apply({}, x, deterministic=True)),
+                              np.asarray(x))
+        a = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)})
+        b = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)})
+        c = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(8)})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_grad_is_mask_times_scale(self):
+        from emdr2_tpu.models.layers import PackedDropout
+
+        m = PackedDropout(0.25)
+        x = jnp.asarray(np.random.RandomState(1).randn(4, 128), jnp.float32)
+
+        def f(x):
+            return jnp.sum(m.apply({}, x, deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(3)}))
+
+        g = np.asarray(jax.grad(f)(x))
+        y = np.asarray(m.apply({}, x, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(3)}))
+        t = round(0.25 * 65536)
+        scale = 65536.0 / (65536 - t)
+        np.testing.assert_allclose(g, np.where(y != 0, scale, 0.0), rtol=1e-6)
+
+
 class TestRematPolicy:
     """remat is a pure memory/FLOPs trade: every policy must produce the
     same loss and gradients as the non-remat stack (config.remat_policy)."""
