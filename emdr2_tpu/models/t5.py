@@ -13,6 +13,7 @@ over K independently-encoded passages.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from emdr2_tpu.config import TransformerConfig
@@ -84,6 +85,72 @@ class T5Model(nn.Module):
         x = sharding_constraint(x, ("batch", "length", "embed"))
         logits = self.shared_embeddings.attend(x) + self.lm_bias
         return logits
+
+    def decode_gold_log_probs(self, dec_ids, enc_hidden, enc_dec_mask,
+                              labels, deterministic: bool = True):
+        """Decoder forward -> gold-token log-probs [*, L], with the LM head
+        computed as an ONLINE logsumexp over vocab chunks, so the [*, L, V]
+        logits tensor is never materialized (fp32 it is 0.79 GB at the
+        flagship teacher shape [200, 32, 30720] — the reference materializes
+        it outright, emdr2_model.py:205-211). Used by the stop-gradient
+        teacher; exact up to summation order vs the dense head.
+        """
+        cfg = self.config
+        x = self.shared_embeddings(dec_ids, deterministic=deterministic)
+        self_bias = masks.mask_to_bias(
+            masks.self_attention_mask(dec_ids, causal=True))[:, None, :, :]
+        kv_bias = None
+        cross_bias = None
+        if cfg.fid_flash_attention:
+            kv_bias = masks.mask_to_bias(enc_dec_mask[:, 0, :])
+        else:
+            cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
+        x = self.decoder(x, enc_out=enc_hidden, self_bias=self_bias,
+                         cross_bias=cross_bias, deterministic=deterministic,
+                         kv_bias=kv_bias)
+        x = sharding_constraint(x, ("batch", "length", "embed"))
+
+        emb = self.shared_embeddings.word_embeddings          # [V, H] fp32
+        V = emb.shape[0]
+        mesh = cfg.mesh
+        tp_sharded_vocab = (mesh is not None
+                            and mesh.shape[mesh.axis_names[-1]] > 1)
+        if V % 4 or tp_sharded_vocab:
+            # dense fallback: odd vocab, or a tp-sharded vocab axis (chunk
+            # slices would cut across the shard boundary and force gathers;
+            # tp uses the vocab-parallel CE path instead)
+            logits = (self.shared_embeddings.attend(x)
+                      + self.lm_bias).astype(jnp.float32)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logits, labels[..., None], axis=-1)[..., 0]
+            return picked - lse
+
+        n_c = 4
+        chunk = V // n_c
+        w = emb.reshape(n_c, chunk, emb.shape[1])
+        b = self.lm_bias.reshape(n_c, chunk)
+        bases = jnp.arange(n_c, dtype=jnp.int32) * chunk
+
+        def body(carry, wb):
+            m, s, picked = carry
+            wc, bc, base = wb
+            lc = jnp.dot(x, wc.T.astype(x.dtype),
+                         preferred_element_type=jnp.float32) + bc
+            m_new = jnp.maximum(m, jnp.max(lc, axis=-1))
+            s = (s * jnp.exp(m - m_new)
+                 + jnp.sum(jnp.exp(lc - m_new[..., None]), axis=-1))
+            in_chunk = (labels >= base) & (labels < base + chunk)
+            idx = jnp.clip(labels - base, 0, chunk - 1)
+            val = jnp.take_along_axis(lc, idx[..., None], axis=-1)[..., 0]
+            picked = jnp.where(in_chunk, val, picked)
+            return (m_new, s, picked), None
+
+        init = (jnp.full(labels.shape, -jnp.inf, jnp.float32),
+                jnp.zeros(labels.shape, jnp.float32),
+                jnp.zeros(labels.shape, jnp.float32))
+        (m, s, picked), _ = jax.lax.scan(body, init, (w, b, bases))
+        return picked - (jnp.log(s) + m)
 
     def __call__(self, enc_ids, dec_ids, deterministic: bool = True,
                  enc_hidden=None, enc_dec_mask=None, output_enc_hidden=False):

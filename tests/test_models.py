@@ -121,6 +121,34 @@ class TestT5:
         np.testing.assert_allclose(np.asarray(full), np.asarray(injected),
                                    atol=1e-5)
 
+    def test_chunked_gold_log_probs_matches_dense(self, cfg):
+        """decode_gold_log_probs (online logsumexp over vocab chunks, used
+        by the stop-grad teacher) must equal the dense head's
+        gather - logsumexp up to summation order. Vocab 640 % 4 == 0, so
+        the chunked path is exercised."""
+        tc = cfg.reader.transformer
+        assert tc.vocab_size % 4 == 0
+        model = T5Model(tc)
+        rng = np.random.RandomState(0)
+        enc = jnp.asarray(rng.randint(2, 500, (3, 6)), jnp.int32)
+        dec = jnp.asarray(rng.randint(1, 500, (3, 4)), jnp.int32)
+        labels = jnp.asarray(rng.randint(0, tc.vocab_size, (3, 4)), jnp.int32)
+        params = model.init(rngs(), enc, dec)
+        hidden = model.apply(params, enc, method=T5Model.encode)
+        from emdr2_tpu.data import masks
+        mask = masks.attention_mask(dec, enc)
+        logits = np.asarray(model.apply(
+            params, dec, hidden, mask, method=T5Model.decode)
+        ).astype(np.float64)
+        lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                            ).sum(-1)) + logits.max(-1)
+        dense = np.take_along_axis(
+            logits, np.asarray(labels)[..., None], axis=-1)[..., 0] - lse
+        chunked = np.asarray(model.apply(
+            params, dec, hidden, mask, labels,
+            method=T5Model.decode_gold_log_probs))
+        np.testing.assert_allclose(chunked, dense, atol=2e-5)
+
     def test_causality(self, cfg):
         """Changing a future decoder token must not affect earlier logits."""
         tc = cfg.reader.transformer
