@@ -137,6 +137,21 @@ def make_flagship_step(B: int = 4, K: int = 50,
     return compiled, state, batch
 
 
+def layer_self_flops(S, H, F):
+    """Matmul FLOPs of one self-attention transformer layer over S tokens:
+    qkv + scores(QK) + mix(PV) + out + mlp(in+out). Shared by
+    model_flops_per_step and tools/bench_step_breakdown (single source for
+    the README roofline table)."""
+    return 8 * S * H * H + 4 * S * S * H + 4 * S * H * F
+
+
+def decoder_stack_flops(S, Lk, H, F, n_layers):
+    """Self + cross-attention decoder stack over S tokens and Lk keys:
+    cross = q/out projections + fused kv projection over Lk + QK/PV."""
+    cross = (4 * S * H * H + 4 * Lk * H * H + 4 * S * Lk * H)
+    return n_layers * (layer_self_flops(S, H, F) + cross)
+
+
 def model_flops_per_step(cfg, B: int, K: int) -> float:
     """Analytic matmul FLOPs of one train step — the MODEL's useful work.
 
@@ -155,18 +170,11 @@ def model_flops_per_step(cfg, B: int, K: int) -> float:
     Lr = cfg.reader.seq_len
     Ld = cfg.reader.decoder_seq_len
 
-    def layer_self(S, H, F):
-        # qkv + scores(QK) + mix(PV) + out + mlp(in+out)
-        return 8 * S * H * H + 4 * S * S * H + 4 * S * H * F
+    layer_self = layer_self_flops
+    decoder_stack = decoder_stack_flops
 
     def stack_self(S, H, F, n_layers):
         return n_layers * layer_self(S, H, F)
-
-    def decoder_stack(S, Lk, H, F, n_layers):
-        cross = (4 * S * H * H          # q + out projections
-                 + 4 * Lk * H * H       # fused kv projection over Lk keys
-                 + 4 * S * Lk * H)      # QK + PV
-        return n_layers * (layer_self(S, H, F) + cross)
 
     He, Fe = enc.hidden_size, enc.ffn_size
     Ht, Ft = t5.hidden_size, t5.ffn_size

@@ -307,16 +307,11 @@ class Attention(nn.Module):
                     kvb = jnp.pad(kvb, ((0, 0), (0, pad)),
                                   constant_values=-1e9)
                 rate, seed = dropout_seed()
-                mesh = _kernel_mesh(cfg, q.shape[0])
-                if mesh is not None:
-                    from emdr2_tpu.ops.fid_attention import (
-                        flash_cross_attention_sharded)
-                    o = flash_cross_attention_sharded(
-                        q, kv_proj, kvb, seed, nh, mesh, key_chunk, rate)
-                else:
-                    o = flash_cross_attention(
-                        q, kv_proj.reshape(kv_proj.shape[:-2] + (2 * h,)),
-                        kvb, seed, nh, key_chunk, None, rate)
+                from emdr2_tpu.ops.fid_attention import (
+                    flash_cross_attention_on)
+                o = flash_cross_attention_on(
+                    _kernel_mesh(cfg, q.shape[0]), q, kv_proj, kvb, seed,
+                    nh, key_chunk, rate)
                 return out_proj(o.astype(cfg.dtype))
             k, v = kv_proj[..., 0, :], kv_proj[..., 1, :]
         else:
@@ -329,19 +324,12 @@ class Attention(nn.Module):
                 # head-transpose relayouts in fwd, remat recompute, or bwd
                 # (profiled at ~16% of the flagship step for the general
                 # [B, L, nh, hd] contract)
-                from emdr2_tpu.ops.fid_attention import flash_self_attention
+                from emdr2_tpu.ops.fid_attention import (
+                    flash_self_attention_on)
                 rate, seed = dropout_seed()
-                mesh = _kernel_mesh(cfg, qkv.shape[0])
-                if mesh is not None:
-                    from emdr2_tpu.ops.fid_attention import (
-                        flash_self_attention_sharded)
-                    o = flash_self_attention_sharded(
-                        qkv, kv_bias.astype(jnp.float32), seed, nh, mesh,
-                        rate)
-                else:
-                    o = flash_self_attention(
-                        qkv.reshape(qkv.shape[:-2] + (3 * h,)),
-                        kv_bias.astype(jnp.float32), seed, nh, None, rate)
+                o = flash_self_attention_on(
+                    _kernel_mesh(cfg, qkv.shape[0]), qkv,
+                    kv_bias.astype(jnp.float32), seed, nh, rate)
                 return out_proj(o.astype(cfg.dtype))
             q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
@@ -372,19 +360,11 @@ class Attention(nn.Module):
             # chunked key axis): no [Lq, Lk] score materialization;
             # attention dropout happens inside the kernel (identical mask in
             # fwd and bwd)
-            from emdr2_tpu.ops.fid_attention import fid_cross_attention
+            from emdr2_tpu.ops.fid_attention import fid_cross_attention_on
             rate, seed = dropout_seed()
-            mesh = _kernel_mesh(cfg, q.shape[0]) if q.ndim == 4 else None
-            if mesh is not None:
-                from emdr2_tpu.ops.fid_attention import (
-                    fid_cross_attention_sharded)
-                out = fid_cross_attention_sharded(
-                    q, k, v, kv_bias.astype(jnp.float32), seed, mesh,
-                    key_chunk, rate)
-            else:
-                out = fid_cross_attention(q, k, v,
-                                          kv_bias.astype(jnp.float32),
-                                          seed, key_chunk, None, rate)
+            out = fid_cross_attention_on(
+                _kernel_mesh(cfg, q.shape[0]) if q.ndim == 4 else None,
+                q, k, v, kv_bias.astype(jnp.float32), seed, key_chunk, rate)
             out = out.astype(cfg.dtype).reshape(out.shape[:-2] + (h,))
             return out_proj(out)
 

@@ -53,15 +53,13 @@ class T5Model(nn.Module):
         return self.encoder(x, kv_bias=masks.padding_bias(enc_ids),
                             deterministic=deterministic)
 
-    def decode(self, dec_ids, enc_hidden, enc_dec_mask,
-               deterministic: bool = True, decode_step: bool = False,
-               position_offset: int = 0, cross_kvs=None):
-        """Decoder forward over injected encoder states -> [B, L, V] logits.
-
-        ``enc_dec_mask`` is [B, Ldec, Lenc] bool (True=may attend); during
-        incremental decoding (``decode_step``) Ldec is the new suffix length
-        and self-attention causality comes from the KV-cache index.
-        """
+    def _decode_hidden(self, dec_ids, enc_hidden, enc_dec_mask,
+                       deterministic: bool = True, decode_step: bool = False,
+                       position_offset: int = 0, cross_kvs=None):
+        """Shared decoder forward (embedding, bias construction, stack) ->
+        [B, L, H] pre-head hidden states. Both the logits head (``decode``)
+        and the teacher's chunked gold head (``decode_gold_log_probs``)
+        consume this, so their attention masking can never diverge."""
         cfg = self.config
         x = self.shared_embeddings(dec_ids, position_offset=position_offset,
                                    deterministic=deterministic)
@@ -82,9 +80,21 @@ class T5Model(nn.Module):
                          cross_bias=cross_bias, deterministic=deterministic,
                          decode=decode_step, cross_kvs=cross_kvs,
                          kv_bias=kv_bias)
-        x = sharding_constraint(x, ("batch", "length", "embed"))
-        logits = self.shared_embeddings.attend(x) + self.lm_bias
-        return logits
+        return sharding_constraint(x, ("batch", "length", "embed"))
+
+    def decode(self, dec_ids, enc_hidden, enc_dec_mask,
+               deterministic: bool = True, decode_step: bool = False,
+               position_offset: int = 0, cross_kvs=None):
+        """Decoder forward over injected encoder states -> [B, L, V] logits.
+
+        ``enc_dec_mask`` is [B, Ldec, Lenc] bool (True=may attend); during
+        incremental decoding (``decode_step``) Ldec is the new suffix length
+        and self-attention causality comes from the KV-cache index.
+        """
+        x = self._decode_hidden(dec_ids, enc_hidden, enc_dec_mask,
+                                deterministic, decode_step, position_offset,
+                                cross_kvs)
+        return self.shared_embeddings.attend(x) + self.lm_bias
 
     def decode_gold_log_probs(self, dec_ids, enc_hidden, enc_dec_mask,
                               labels, deterministic: bool = True):
@@ -96,19 +106,8 @@ class T5Model(nn.Module):
         teacher; exact up to summation order vs the dense head.
         """
         cfg = self.config
-        x = self.shared_embeddings(dec_ids, deterministic=deterministic)
-        self_bias = masks.mask_to_bias(
-            masks.self_attention_mask(dec_ids, causal=True))[:, None, :, :]
-        kv_bias = None
-        cross_bias = None
-        if cfg.fid_flash_attention:
-            kv_bias = masks.mask_to_bias(enc_dec_mask[:, 0, :])
-        else:
-            cross_bias = masks.mask_to_bias(enc_dec_mask)[:, None, :, :]
-        x = self.decoder(x, enc_out=enc_hidden, self_bias=self_bias,
-                         cross_bias=cross_bias, deterministic=deterministic,
-                         kv_bias=kv_bias)
-        x = sharding_constraint(x, ("batch", "length", "embed"))
+        x = self._decode_hidden(dec_ids, enc_hidden, enc_dec_mask,
+                                deterministic)
 
         emb = self.shared_embeddings.word_embeddings          # [V, H] fp32
         V = emb.shape[0]

@@ -908,3 +908,47 @@ def fid_cross_attention_sharded(q, k, v, kv_bias, seed, mesh,
         in_specs=(spec, spec, spec, P(dp_ax, None), P()),
         out_specs=spec,
         check_vma=False)(q, k, v, kv_bias, seed_arr)
+
+
+# ---- mesh dispatchers --------------------------------------------------------
+# Single entry points selecting the shard_mapped or plain kernel form, so
+# model code (models/layers.py Attention) carries ONE call per site instead
+# of repeating the mesh-or-not branch + slab reshape at every site. A new
+# call site that forgets the sharded form would silently reintroduce the
+# whole-slab all-gather these wrappers exist to prevent — routing the
+# choice here makes that impossible.
+
+def flash_self_attention_on(mesh, qkv4, kv_bias, seed, nh,
+                            dropout_rate: float = 0.0):
+    """Fused-QKV self-attention slab kernel; ``mesh=None`` = single-device
+    form. qkv4 [B, L, 3, H] (FusedDense layout) -> [B, L, H]."""
+    if mesh is not None:
+        return flash_self_attention_sharded(qkv4, kv_bias, seed, nh, mesh,
+                                            dropout_rate)
+    slab = qkv4.reshape(qkv4.shape[:-2] + (3 * qkv4.shape[-1],))
+    return flash_self_attention(slab, kv_bias, seed, nh, None, dropout_rate)
+
+
+def flash_cross_attention_on(mesh, q, kv4, kv_bias, seed, nh,
+                             key_chunk: int = 512,
+                             dropout_rate: float = 0.0):
+    """kv-slab cross-attention kernel; ``mesh=None`` = single-device form.
+    q [B, Lq, H], kv4 [B, Lk, 2, H] -> [B, Lq, H]."""
+    if mesh is not None:
+        return flash_cross_attention_sharded(q, kv4, kv_bias, seed, nh,
+                                             mesh, key_chunk, dropout_rate)
+    slab = kv4.reshape(kv4.shape[:-2] + (2 * kv4.shape[-1],))
+    return flash_cross_attention(q, slab, kv_bias, seed, nh, key_chunk,
+                                 None, dropout_rate)
+
+
+def fid_cross_attention_on(mesh, q, k, v, kv_bias, seed,
+                           key_chunk: int = 512,
+                           dropout_rate: float = 0.0):
+    """General per-head flash attention; ``mesh=None`` = single-device form.
+    q/k/v [B, L, nh, hd] -> [B, Lq, nh, hd]."""
+    if mesh is not None:
+        return fid_cross_attention_sharded(q, k, v, kv_bias, seed, mesh,
+                                           key_chunk, dropout_rate)
+    return fid_cross_attention(q, k, v, kv_bias, seed, key_chunk, None,
+                               dropout_rate)

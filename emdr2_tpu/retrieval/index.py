@@ -65,23 +65,41 @@ class ShardedEvidenceIndex:
             # layout guarantees divisibility
             assert shard_rows % cfg.group_size == 0, (shard_rows,
                                                       cfg.group_size)
-        self.scales: Optional[jax.Array] = None
-
         self._sharding = NamedSharding(mesh, P(mesh.axis_names, None))
         self._scale_sharding = NamedSharding(mesh, P(mesh.axis_names))
         self._quantize_jit = None
-        self.embeddings = self._to_device(embeddings)
+        # (embeddings, scales) live as ONE tuple swapped by a single
+        # attribute assignment: search() (which may run on the prefetch
+        # thread, training/prefetch.py) snapshots the pair once, so a
+        # concurrent refresh can never pair new scales with old int8 rows.
+        # No eager .delete() on the old pair either — the prefetch thread
+        # may still be dispatching a search on it; the buffers free when
+        # the last reference dies (refcount), i.e. at worst one batch later.
+        self._data: Tuple[jax.Array, Optional[jax.Array]] = (
+            self._to_device(embeddings))
         if passage_ids is None:
             passage_ids = np.arange(1, n + 1, dtype=np.int64)
         assert passage_ids.shape == (n,)
         self.row_to_passage_id = passage_ids
         self._search_fns = {}
 
+    @property
+    def embeddings(self) -> jax.Array:
+        return self._data[0]
+
+    @property
+    def scales(self) -> Optional[jax.Array]:
+        return self._data[1]
+
     # ---- device placement ----------------------------------------------------
 
-    def _to_device(self, embeddings: np.ndarray) -> jax.Array:
+    def _to_device(self, embeddings: np.ndarray
+                   ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Host embeddings -> a fresh (device rows, device scales) pair.
+        Pure: does not touch ``self._data`` (callers swap it atomically)."""
         n, d = embeddings.shape
         dtype = self.cfg.dtype
+        new_scales = None
 
         if self.quantized:
             g = self.cfg.group_size
@@ -93,10 +111,7 @@ class ShardedEvidenceIndex:
                 src = np.zeros((n_q, d), np.float32)
                 src[:n] = embeddings
             q8, scales = quantize_int8(np.asarray(src, np.float32), g)
-            old_scales = self.scales
-            self.scales = self._scales_to_device(scales)
-            if old_scales is not None:
-                old_scales.delete()
+            new_scales = self._scales_to_device(scales)
             embeddings, dtype, n = q8, jnp.int8, n_q
 
         # cast to the index dtype on HOST so the H2D transfer moves the
@@ -115,8 +130,8 @@ class ShardedEvidenceIndex:
                 block[: src_stop - start] = embeddings[start:src_stop]
             return jnp.asarray(block)
 
-        return jax.make_array_from_callback(
-            (self.n_padded, d), self._sharding, shard_cb)
+        return (jax.make_array_from_callback(
+            (self.n_padded, d), self._sharding, shard_cb), new_scales)
 
     def _scales_to_device(self, scales: np.ndarray) -> jax.Array:
         """Place host per-group scales, padded with 1.0 (all-pad groups must
@@ -171,11 +186,9 @@ class ShardedEvidenceIndex:
         the per-refresh path (replaces update_index, emdr2_index.py:232-239).
         """
         assert embeddings.shape[0] == self.n_real
-        old = self.embeddings
-        self.embeddings = self._to_device(embeddings)
         if passage_ids is not None:
             self.row_to_passage_id = passage_ids
-        old.delete()
+        self._data = self._to_device(embeddings)   # atomic pair swap
 
     def process_row_range(self) -> Tuple[int, int]:
         """This process's contiguous [start, stop) slice of the PADDED index
@@ -206,6 +219,7 @@ class ShardedEvidenceIndex:
         assert local_rows.shape[0] <= stop - start
         dtype = self.cfg.dtype
 
+        new_scales = None
         if self.quantized:
             g = self.cfg.group_size
             # quantize this process's full row block (zero tail rows form
@@ -213,10 +227,7 @@ class ShardedEvidenceIndex:
             full = np.zeros((stop - start, d), np.float32)
             full[: local_rows.shape[0]] = local_rows
             q8, local_scales = quantize_int8(full, g)
-            old_scales = self.scales
-            self.scales = self._scales_from_local(local_scales, start // g)
-            if old_scales is not None:
-                old_scales.delete()
+            new_scales = self._scales_from_local(local_scales, start // g)
             local_rows, dtype = q8, jnp.int8
 
         np_dtype = np.dtype(dtype)   # cast on host: upload the final bytes
@@ -234,12 +245,10 @@ class ShardedEvidenceIndex:
                 block[:have] = local_rows[s - start: s - start + have]
             return jnp.asarray(block)
 
-        old = self.embeddings
-        self.embeddings = jax.make_array_from_callback(
-            (self.n_padded, d), self._sharding, shard_cb)
         if passage_ids is not None:
             self.row_to_passage_id = passage_ids
-        old.delete()
+        self._data = (jax.make_array_from_callback(
+            (self.n_padded, d), self._sharding, shard_cb), new_scales)
 
     def swap_device_array(self, new_embeddings: jax.Array) -> None:
         """Swap in an already-on-device (correctly sharded) matrix — the
@@ -256,16 +265,9 @@ class ShardedEvidenceIndex:
                     out_shardings=(self._sharding, self._scale_sharding))
             q8, sc = self._quantize_jit(
                 jax.device_put(new_embeddings, self._sharding))
-            old, old_sc = self.embeddings, self.scales
-            self.embeddings, self.scales = q8, sc
-            old.delete()
-            if old_sc is not None:
-                old_sc.delete()
+            self._data = (q8, sc)                  # atomic pair swap
             return
-        old = self.embeddings
-        self.embeddings = jax.device_put(new_embeddings, self._sharding)
-        if old is not new_embeddings:
-            old.delete()
+        self._data = (jax.device_put(new_embeddings, self._sharding), None)
 
     # ---- search ----------------------------------------------------------------
 
@@ -342,8 +344,12 @@ class ShardedEvidenceIndex:
         # inside; casting to the storage dtype first would double the error
         q = jnp.asarray(
             query_embeds, jnp.float32 if self.quantized else self.cfg.dtype)
-        scales = self.scales if self.quantized else self._dummy_scales()
-        return self._search_fns[key](q, self.embeddings, scales)
+        # snapshot the (rows, scales) pair ONCE: search may run on the
+        # prefetch thread concurrently with a refresh swapping self._data
+        emb, scales = self._data
+        if scales is None:
+            scales = self._dummy_scales()
+        return self._search_fns[key](q, emb, scales)
 
     def lookup_passage_ids(self, rows) -> np.ndarray:
         """Vectorized row -> passage-id mapping on host."""

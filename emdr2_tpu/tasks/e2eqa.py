@@ -58,11 +58,12 @@ class E2EQATask:
         self._jitted: Dict[str, Callable] = {}
         self.state: Optional[step_lib.TrainState] = None
         self.param_sharding = None
-        # Donating the state buffers into the step is the default; the
-        # prefetch pipeline must disable it (a background thread holds
-        # references to params for stage-A retrieval, and donation would
-        # invalidate them mid-flight).
+        # Donating the state buffers into the step is the default — ALSO
+        # under the prefetch pipeline: the background thread never touches
+        # live state buffers, it embeds with the per-step query-tower
+        # snapshot (enable_prefetch_snapshots).
         self.donate_state = True
+        self._retrieval_snapshot = None
 
     # ------------------------------------------------------------------ setup
 
@@ -118,6 +119,44 @@ class E2EQATask:
                 out_shardings=dp)
         return self._jitted["embed_query"]
 
+    # ---- prefetch-safe query-tower snapshot ---------------------------------
+    # With the prefetch pipeline the stage-A query embed runs on a background
+    # thread while the jitted step DONATES the state buffers. Instead of
+    # disabling donation (which transiently doubles the ~5.3 GB fp32
+    # params+adam state and OOMs the flagship 16 GB v5e layout), the worker
+    # embeds with a per-step device-to-device COPY of the query tower
+    # (~0.44 GB, ~1 ms). Selection staleness is identical to the plain
+    # prefetch semantics (training/prefetch.py docstring); the in-step
+    # scores are always recomputed from the live params.
+
+    def enable_prefetch_snapshots(self) -> None:
+        assert self.state is not None, "init_state before enabling prefetch"
+        self.refresh_retrieval_snapshot()
+
+    def refresh_retrieval_snapshot(self) -> None:
+        if "snapshot_copy" not in self._jitted:
+            self._jitted["snapshot_copy"] = jax.jit(
+                lambda p: jax.tree_util.tree_map(jnp.copy, p))
+        self._retrieval_snapshot = self._jitted["snapshot_copy"](
+            self.state.params["retriever"]["query_model"])
+
+    def _embed_query_snapshot_fn(self):
+        if "embed_query_snap" not in self._jitted:
+            dp = NamedSharding(self.mesh, P("dp"))
+
+            def f(query_tower, ids):
+                return self.model.apply(
+                    {"params": {"retriever": {"query_model": query_tower}}},
+                    ids, method=EMDR2Model.embed_query)
+
+            self._jitted["embed_query_snap"] = jax.jit(
+                f,
+                in_shardings=(
+                    self.param_sharding.params["retriever"]["query_model"],
+                    dp),
+                out_shardings=dp)
+        return self._jitted["embed_query_snap"]
+
     def retrieve(self, query_bert_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Fresh query embeddings -> sharded MIPS top-k -> host passage ids.
 
@@ -132,7 +171,11 @@ class E2EQATask:
         cfg = self.cfg
         k = cfg.index.topk + (0 if cfg.index.allow_trivial_doc else 1)
         ids_dev = make_global_array(self.mesh, np.asarray(query_bert_ids))
-        q = self._embed_query_fn()(self.state.params, ids_dev)
+        snap = self._retrieval_snapshot
+        if snap is not None:  # prefetch worker: donation-safe tower copy
+            q = self._embed_query_snapshot_fn()(snap, ids_dev)
+        else:
+            q = self._embed_query_fn()(self.state.params, ids_dev)
         scores, rows = self.index.search(q, k=k, queries_sharded=True)
         rows_h = host_local_rows(rows)
         return self.index.lookup_passage_ids(rows_h), host_local_rows(scores)
@@ -198,6 +241,9 @@ class E2EQATask:
         from emdr2_tpu.parallel.distributed import make_global_batch
         device_batch = make_global_batch(self.mesh, device_batch)
         self.state, metrics = self._train_step_fn()(self.state, device_batch)
+        if self._retrieval_snapshot is not None:
+            # hand the prefetch worker this step's weights (one d2d copy)
+            self.refresh_retrieval_snapshot()
         return metrics
 
 

@@ -123,9 +123,16 @@ def run_openqa(args, cfg) -> int:
             cfg, embed_mesh if embed_mesh is not None else mesh,
             builder_model,
             corpus, t5_tok.cls_id, t5_tok.sep_id, t5_tok.pad_id)
+        # zero-copy (device-resident) embedding only when the embedder owns
+        # a DISJOINT sub-mesh: there the fresh slab accumulates on the
+        # embedder's chips and the train chips pay only the swap transient.
+        # On a shared mesh the bf16 slab (~2 GB/chip at flagship scale)
+        # would sit next to the live index AND the step's workspace for the
+        # whole embedding pass — an OOM on a 16 GB v5e — so the host-array
+        # path (accumulate in host RAM, one upload at swap) is used instead.
         refresher = AsyncIndexRefresher(
             builder, index, reload_interval=cfg.train.index_reload_interval,
-            zero_copy=True)  # device-to-device swap; auto-off on multi-host
+            zero_copy=embed_mesh is not None)  # auto-off on multi-host too
 
     def eval_cb(iteration):
         # collective: every process participates in the mesh-sharded decode

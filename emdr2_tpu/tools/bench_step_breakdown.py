@@ -103,16 +103,12 @@ def main(argv=None):
     d_grad = jax.jit(jax.grad(reader_loss))
     t_fwd = jax.jit(teacher_fwd)
 
-    # analytic FLOPs per pass (bench.model_flops_per_step components)
+    # analytic FLOPs per pass — the SAME formulas bench.model_flops_per_step
+    # uses (single source; a fix there propagates here)
     Lq, Lc = cfg.retriever.query_seq_len, cfg.retriever.seq_len
     Lr, Ld = cfg.reader.seq_len, cfg.reader.decoder_seq_len
-
-    def layer_self(S, H, F):
-        return 8 * S * H * H + 4 * S * S * H + 4 * S * H * F
-
-    def dec_stack(S, Lk, H, F, n):
-        cross = 4 * S * H * H + 4 * Lk * H * H + 4 * S * Lk * H
-        return n * (layer_self(S, H, F) + cross)
+    layer_self = bench_mod.layer_self_flops
+    dec_stack = bench_mod.decoder_stack_flops
 
     V = t5.vocab_size
     fl_ret = 3 * (B * enc.num_layers * layer_self(Lq, enc.hidden_size, enc.ffn_size)

@@ -103,11 +103,17 @@ def train(task, dataset, cfg: EMDR2Config,
                                               **dist_kw)
         if prefetch_depth > 0:
             from emdr2_tpu.training.prefetch import BatchPrefetcher
-            # the worker holds param references across steps; the jitted
-            # step must not donate them (see E2EQATask.donate_state)
-            assert not task._jitted.get("train_step") or not task.donate_state, (
-                "enable prefetch before the first train step is compiled")
-            task.donate_state = False
+            # the worker embeds stage-A queries from a donation-safe
+            # query-tower snapshot (refreshed after every step), so the
+            # jitted step keeps donating the 5.3 GB state buffers — turning
+            # donation off instead would transiently double them and OOM
+            # the flagship 16 GB v5e layout (e2eqa.enable_prefetch_snapshots)
+            if hasattr(task, "enable_prefetch_snapshots"):
+                task.enable_prefetch_snapshots()
+            else:  # tasks without a snapshot path: fall back to donate-off
+                assert not task._jitted.get("train_step"), (
+                    "enable prefetch before the first train step is compiled")
+                task.donate_state = False
             epoch_batches = BatchPrefetcher(task, epoch_batches,
                                             depth=prefetch_depth)
         for bi, batch in enumerate(epoch_batches):

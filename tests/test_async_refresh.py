@@ -189,8 +189,31 @@ class TestPrefetch:
         it = engine_lib.train(task, ds, cfg, prefetch_depth=2,
                               printer=lambda s: None)
         assert it == 2 * (len(ds) // 8)
+        # donation must STAY on under prefetch (the worker embeds from the
+        # query-tower snapshot, not live state; donate-off would double the
+        # flagship state in HBM) and the snapshot must be armed
+        assert task.donate_state
+        assert task._retrieval_snapshot is not None
         assert np.isfinite(float(task.train_step(
             next(ds.epoch_batches(8, seed=9)))["loss"]))
+
+    def test_snapshot_retrieval_matches_live_params(self, world):
+        """The query-tower snapshot path must produce the same retrieval as
+        the live-params path at equal weights, from distinct buffers."""
+        import jax
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+        batch = next(ds.epoch_batches(8, seed=3))
+        live = task.retrieve(batch.query_bert_ids)[0]
+        task.enable_prefetch_snapshots()
+        snap_tree = task._retrieval_snapshot
+        live_tree = task.state.params["retriever"]["query_model"]
+        leaves_s = jax.tree_util.tree_leaves(snap_tree)
+        leaves_l = jax.tree_util.tree_leaves(live_tree)
+        assert all(s is not l for s, l in zip(leaves_s, leaves_l))
+        np.testing.assert_array_equal(np.asarray(leaves_s[0]),
+                                      np.asarray(leaves_l[0]))
+        snap = task.retrieve(batch.query_bert_ids)[0]
+        np.testing.assert_array_equal(live, snap)
 
     def test_prefetch_error_propagates(self, world):
         cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
