@@ -71,25 +71,44 @@ class DecoderSession:
 
         @jax.jit
         def encode(params, batch):
-            return model.apply({"params": params}, batch,
-                               method=EMDR2Model.encode_for_generation)
+            # with_scores=False: generation never reads the retrieval score
+            # distribution (see encode_for_generation), so don't pay the
+            # query+context dual-encoder towers per eval batch
+            _, enc_hidden, enc_flat_ids = model.apply(
+                {"params": params}, batch, with_scores=False,
+                method=EMDR2Model.encode_for_generation)
+            return enc_hidden, enc_flat_ids
+
+        nh = model.config.reader.transformer.num_heads
+        hd = model.config.reader.transformer.head_dim
 
         @jax.jit
         def cross_kvs(params, enc_hidden):
             """Per-decoder-layer encoder K/V projections, computed once.
             Reaches into the param tree for the cross-attention key_value
             kernels ([D, 2, H] FusedDense layout) — a session-level
-            optimization keeping the modules themselves oblivious."""
+            optimization keeping the modules themselves oblivious.
+
+            Emitted PRE-SPLIT and PRE-HEADED as (k, v) pairs in
+            [B, nh, Lk, hd] layout: the token loop's score and context
+            matmuls then consume them as contiguous batched GEMMs. Keeping
+            the fused [B, Lk, 2, H] slab instead costs the split + head
+            transpose EVERY decode step — at 25.6k keys that relayout
+            traffic (~3x the 3.8 GB K/V read) dominated the measured
+            22.6 ms/step (the roofline for reading K+V once is ~4.6 ms)."""
             import flax.linen as nn
             outs = []
+            B, Lk = enc_hidden.shape[0], enc_hidden.shape[1]
             for i in range(n_layers):
                 p = nn.meta.unbox(params["reader"]["decoder"][f"layer_{i}"][
                     "cross_attention"]["key_value"])
                 kern = p["kernel"].astype(enc_hidden.dtype)
                 bias = p["bias"].astype(enc_hidden.dtype)
-                outs.append(jnp.einsum("bld,dnh->blnh", enc_hidden, kern,
-                                       preferred_element_type=enc_hidden.dtype)
-                            + bias)
+                kv = jnp.einsum("bld,dnh->blnh", enc_hidden, kern,
+                                preferred_element_type=enc_hidden.dtype
+                                ) + bias                       # [B, Lk, 2, H]
+                kv = kv.reshape(B, Lk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+                outs.append((kv[0], kv[1]))      # each [B, nh, Lk, hd]
             return outs
 
         def decode_lp(params, cache, tok, enc_flat_ids, kvs, pos):
@@ -182,14 +201,15 @@ class DecoderSession:
     # ------------------------------------------------------------- frontend
 
     def encode(self, batch: EMDR2Batch):
-        """Retrieval scores + FiD encoder states + per-layer cross K/V.
+        """FiD encoder states + per-layer cross K/V (no retrieval scores —
+        generation never consumes them; see encode_for_generation).
 
         ``batch`` holds this process's local rows; under a mesh they are
         assembled into dp-sharded global arrays first."""
         batch = self._globalize(batch)
-        topk_lp, enc_hidden, enc_flat_ids = self._encode(self.params, batch)
+        enc_hidden, enc_flat_ids = self._encode(self.params, batch)
         kvs = self._cross_kvs(self.params, enc_hidden)
-        return topk_lp, kvs, enc_flat_ids
+        return kvs, enc_flat_ids
 
     def init_cache(self, batch_rows: int, kvs, enc_flat_ids):
         """Build the zeroed cache pytree by tracing one decode step.
@@ -263,7 +283,12 @@ class DecoderSession:
             top_sc, top_idx = jax.lax.top_k(lp0, k)          # [B, k]
             rep = jnp.repeat(jnp.arange(B), k)
             cache = _take_rows(cache, rep)
-            kvs_k = [jnp.repeat(x, k, axis=0) for x in kvs]
+            # kvs stay at B rows: the attention fast path folds the k beams
+            # of an example into extra query rows of one GEMM, so the
+            # 25.6k-key K/V slab is read once per step, not k times. Beam
+            # reordering never crosses examples (parent = best//k + b*k),
+            # so per-example K/V are correct for every beam row.
+            kvs_k = kvs
             enc_k = jnp.repeat(enc_flat_ids, k, axis=0)
 
             seqs0 = jnp.zeros((B * k, max_len), jnp.int32)
@@ -339,7 +364,7 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
     Greedy runs the whole token loop on device (one dispatch + one readback
     per batch); sampling keeps the host loop for rng bookkeeping
     (single-host only)."""
-    _, kvs, enc_flat_ids = session.encode(batch)
+    kvs, enc_flat_ids = session.encode(batch)
     B = enc_flat_ids.shape[0]  # global rows
     cache = session.init_cache(B, kvs, enc_flat_ids)
 
@@ -375,7 +400,7 @@ def beam_search_decode(session: DecoderSession, batch: EMDR2Batch,
     jitted device-resident loop (``DecoderSession._make_beam_loop``); the
     reference re-encodes/gathers full hidden-state tensors on host every
     token (:87-100)."""
-    _, kvs, enc_flat_ids = session.encode(batch)
+    kvs, enc_flat_ids = session.encode(batch)
     B = enc_flat_ids.shape[0]  # global rows
     cache = session.init_cache(B, kvs, enc_flat_ids)
     out = session.beam_loop(beam_size, alpha)(

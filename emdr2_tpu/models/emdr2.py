@@ -161,11 +161,21 @@ class EMDR2Model(nn.Module):
     # ---- generation-time entry points ---------------------------------------
 
     def encode_for_generation(self, batch: EMDR2Batch,
-                              deterministic: bool = True):
+                              deterministic: bool = True,
+                              with_scores: bool = True):
         """First decoding step: retrieval scores + FiD encoder states, cached
         and reused by subsequent steps (parity with the eval branch,
-        emdr2_model.py:96,213-214 and search_strategy.py:144-156)."""
-        topk_log_probs = self._topk_log_probs(batch, deterministic)
+        emdr2_model.py:96,213-214 and search_strategy.py:144-156).
+
+        ``with_scores=False`` skips the dual-encoder re-embed entirely: the
+        reference computes topk_log_probs on step 0 but its greedy/beam
+        search never consumes it for token selection
+        (search_strategy.py:220 selects on ``logits`` alone; the scores are
+        only threaded through as an opaque cache). Generation needs just
+        the FiD encoder states, and the towers are ~30% of encode time —
+        dead weight XLA can't eliminate when the scores are a jit output."""
+        topk_log_probs = (self._topk_log_probs(batch, deterministic)
+                          if with_scores else None)
         enc_hidden, enc_flat_ids = self._fid_encode(batch.reader_ids, deterministic)
         return topk_log_probs, enc_hidden, enc_flat_ids
 

@@ -249,10 +249,13 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic: bool = True,
                  decode: bool = False, precomputed_kv=None, kv_bias=None):
-        """``precomputed_kv``: a [..., Lk, 2h] projection of the encoder
-        states, computed ONCE before the decode loop (see
-        ``decoding.DecoderSession``) — the reference instead re-runs the
-        whole prefix every step with no caching (search_strategy.py:200-227).
+        """``precomputed_kv``: the encoder-state K/V projection, computed
+        ONCE before the decode loop (see ``decoding.DecoderSession``) — the
+        reference instead re-runs the whole prefix every step with no
+        caching (search_strategy.py:200-227). Two accepted forms: a
+        ``(k, v)`` tuple pre-headed in [B, nh, Lk, hd] (the fast path — no
+        per-step relayout of the key slab), or a fused [..., Lk, 2, H] /
+        [..., Lk, 2H] slab array.
 
         ``kv_bias`` [B, Lk]: key-side-only additive bias; when provided on a
         non-decode path (cross-attention OR padding-only self-attention) with
@@ -282,6 +285,38 @@ class Attention(nn.Module):
         if self.cross_attention:
             q = Dense(h, ("embed", "heads"), dtype=cfg.dtype,
                       kernel_init=normal_init(cfg.init_std), name="query")(x)
+            if isinstance(precomputed_kv, (tuple, list)):
+                # Incremental-decode fast path: (k, v) arrive pre-split and
+                # pre-headed in [Bk, nh, Lk, hd] (DecoderSession.cross_kvs),
+                # so both matmuls below are contiguous batched GEMMs — no
+                # per-step relayout of the 25.6k-key slab inside the token
+                # loop (measured 22.6 -> ~6 ms/step at flagship shape).
+                #
+                # Beam grouping: when the query batch is g x the K/V batch
+                # (beam search runs B*beam rows against per-EXAMPLE encoder
+                # states), the g beams of an example are folded into extra
+                # query rows of one GEMM — K/V are read ONCE per step
+                # regardless of beam width, instead of beam-times (the
+                # repeat-the-slab form cost 64 ms/step at beam 5 vs the
+                # ~6 ms greedy step; the K/V read is the whole roofline).
+                k, v = precomputed_kv
+                Bq, Lq = x.shape[0], x.shape[-2]
+                g, kvB = Bq // k.shape[0], k.shape[0]
+                qh = q.reshape(kvB, g, Lq, nh, hd) * (hd ** -0.5)
+                scores = jnp.einsum("bgqnd,bnkd->bgnqk", qh,
+                                    k.astype(cfg.dtype),
+                                    preferred_element_type=jnp.float32)
+                if bias is not None:   # [Bq, 1, Lq, Lk] -> [kvB, g, 1, Lq, Lk]
+                    b5 = bias.astype(jnp.float32).reshape(
+                        (kvB, g) + bias.shape[1:])
+                    scores = scores + b5
+                probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+                if not deterministic and cfg.attention_dropout > 0.0:
+                    probs = nn.Dropout(cfg.attention_dropout)(
+                        probs, deterministic=False)
+                ctx = jnp.einsum("bgnqk,bnkd->bgqnd", probs,
+                                 v.astype(cfg.dtype))
+                return out_proj(ctx.reshape(Bq, Lq, h))
             if precomputed_kv is None:
                 kv_proj = FusedDense(2, h, dtype=cfg.dtype,
                                      kernel_init=normal_init(cfg.init_std),

@@ -42,7 +42,7 @@ class TestIncrementalDecode:
         _, enc_hidden, enc_flat = model.apply(
             {"params": params}, batch,
             method=EMDR2Model.encode_for_generation)
-        _, kvs, _ = session.encode(batch)
+        kvs, _ = session.encode(batch)
         B = batch.dec_ids.shape[0]
 
         prefix = np.asarray([[7, 8, 9, 10], [11, 12, 13, 14]], np.int32)
