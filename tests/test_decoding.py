@@ -121,6 +121,27 @@ class TestBeam:
             assert bs >= gs - 1e-4
 
 
+class TestMeshDecode:
+    def test_mesh_matches_single_device(self, setup):
+        """Greedy and beam decode under a dp mesh must produce the same
+        tokens as the un-meshed session. Beam is the interesting case: its
+        loop mixes B*k query rows with B-row cross-K/V (grouped-GEMM fast
+        path), and under the mesh both shardings must compose."""
+        from emdr2_tpu.config import MeshConfig
+        from emdr2_tpu.parallel.mesh import build_mesh
+
+        cfg, model, params, batch = setup
+        mesh = build_mesh(MeshConfig(dp=2, tp=1))
+        base = DecoderSession(model, params, max_decode_len=5)
+        msess = DecoderSession(model, params, max_decode_len=5, mesh=mesh)
+        assert (greedy_decode(msess, batch, bos_id=1, eos_id=0)
+                == greedy_decode(base, batch, bos_id=1, eos_id=0))
+        assert (beam_search_decode(msess, batch, bos_id=1, eos_id=0,
+                                   beam_size=3)
+                == beam_search_decode(base, batch, bos_id=1, eos_id=0,
+                                      beam_size=3))
+
+
 class TestLengthPenalty:
     def test_reference_formula(self):
         assert abs(length_penalty(1) - 1.0) < 1e-9
