@@ -239,11 +239,19 @@ def main():
     qps = bench_mips(on_cpu)
 
     train = {"skipped": "cpu backend"}
+    decode = {"skipped": "cpu backend"}
     if not on_cpu:
         try:
             train = bench_train_step()
         except Exception as e:  # never lose the headline number
             train = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            from emdr2_tpu.tools.bench_pipeline import bench_decode
+            # greedy-only: the beam loop costs another long compile; its
+            # number lives in `bench_pipeline --decode` (README table)
+            decode = bench_decode(4, 50, iters=3, include_beam=False)
+        except Exception as e:
+            decode = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps({
         "metric": "mips_top20_queries_per_sec_per_chip_21M",
@@ -251,6 +259,7 @@ def main():
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "train_step": train,
+        "decode": decode,
     }))
 
 

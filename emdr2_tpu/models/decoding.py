@@ -129,45 +129,58 @@ class DecoderSession:
         def reorder(cache, parent_idx):
             return _take_rows(cache, parent_idx)
 
-        def greedy_loop(params, cache, tok0, enc_flat_ids, kvs,
-                        eos_id, max_len=max_decode_len):
-            """Device-resident greedy decode: one dispatch per batch.
+        def make_token_loop(sample: bool):
+            def token_loop(params, cache, tok0, enc_flat_ids, kvs,
+                           eos_id, rng, max_len=max_decode_len):
+                """Device-resident token decode: one dispatch per batch.
 
-            The host-driven loop costs a blocking device round-trip per
-            token (argmax readback); over a remote/tunneled device that
-            dominates generation latency (measured 5.5 s -> ~0.6 s per
-            B=4/K=50 batch). The whole token loop runs in one jitted
-            lax.while_loop with an early-exit predicate on all-rows-EOS."""
-            B = tok0.shape[0]
-            out0 = jnp.zeros((B, max_len), jnp.int32)
-            done0 = jnp.zeros((B,), bool)
+                A host-driven loop costs a blocking device round-trip per
+                token (argmax/categorical readback); over a remote/tunneled
+                device that dominates generation latency (measured ~40 ms
+                per step dispatch vs 6 ms of compute at B=4/K=50). The
+                whole token loop runs in one jitted lax.while_loop with an
+                early-exit predicate on all-rows-EOS. ``sample=True`` draws
+                from the per-step categorical (the reference's
+                SampleOrGreedySearch sampling mode, search_strategy.py:213)
+                with a position-folded key instead of taking the argmax."""
+                B = tok0.shape[0]
+                out0 = jnp.zeros((B, max_len), jnp.int32)
+                done0 = jnp.zeros((B,), bool)
 
-            def cond(st):
-                pos, _tok, done, _cache, _out = st
-                return (pos < max_len) & ~jnp.all(done)
+                def cond(st):
+                    pos, _tok, done, _cache, _out = st
+                    return (pos < max_len) & ~jnp.all(done)
 
-            def body(st):
-                pos, tok, done, cache, out = st
-                lp, cache = decode_lp(params, cache, tok, enc_flat_ids,
-                                      kvs, pos)
-                ys = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-                out = jax.lax.dynamic_update_slice_in_dim(
-                    out, ys[:, None], pos, axis=1)
-                done = done | (ys == eos_id)
-                return pos + 1, ys[:, None], done, cache, out
+                def body(st):
+                    pos, tok, done, cache, out = st
+                    lp, cache = decode_lp(params, cache, tok, enc_flat_ids,
+                                          kvs, pos)
+                    if sample:
+                        ys = jax.random.categorical(
+                            jax.random.fold_in(rng, pos), lp, axis=-1
+                        ).astype(jnp.int32)
+                    else:
+                        ys = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice_in_dim(
+                        out, ys[:, None], pos, axis=1)
+                    done = done | (ys == eos_id)
+                    return pos + 1, ys[:, None], done, cache, out
 
-            _, _, _, _, out = jax.lax.while_loop(
-                cond, body, (0, tok0, done0, cache, out0))
-            return out
+                _, _, _, _, out = jax.lax.while_loop(
+                    cond, body, (0, tok0, done0, cache, out0))
+                return out
+            return token_loop
 
         self._encode, self._cross_kvs = encode, cross_kvs
         self._decode_lp = decode_lp
         self._step, self._reorder = step, reorder
         # explicit dp out-sharding under a mesh: generated tokens come back
         # as a dp-sharded global array each process reads its rows from
-        self._greedy_loop = jax.jit(
-            greedy_loop, donate_argnums=(1,),
+        _jit = functools.partial(
+            jax.jit, donate_argnums=(1,),
             **({"out_shardings": self._dp} if self._dp is not None else {}))
+        self._greedy_loop = _jit(make_token_loop(sample=False))
+        self._sample_loop = _jit(make_token_loop(sample=True))
         self._beam_loops = {}
 
     # --------------------------------------------------------- mesh plumbing
@@ -361,33 +374,22 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
     """Greedy (or multinomial-sampling) generation for this process's rows
     of ``batch``.
 
-    Greedy runs the whole token loop on device (one dispatch + one readback
-    per batch); sampling keeps the host loop for rng bookkeeping
-    (single-host only)."""
+    Both modes run the whole token loop on device — one dispatch + one
+    readback per batch, mesh/multi-host capable. Sampling threads ``rng``
+    into the loop and draws from the per-step categorical with a
+    position-folded key (parity: SampleOrGreedySearch sampling mode,
+    search_strategy.py:213-217)."""
     kvs, enc_flat_ids = session.encode(batch)
     B = enc_flat_ids.shape[0]  # global rows
     cache = session.init_cache(B, kvs, enc_flat_ids)
 
-    if not sample:
-        out = session._greedy_loop(session.params, cache,
-                                   session._tok0(B, bos_id), enc_flat_ids,
-                                   kvs, jnp.asarray(eos_id, jnp.int32))
-        return _strip_eos(session._readback(out), eos_id)
-
-    assert jax.process_count() == 1, "sampling decode is single-host only"
-    tok = np.full((B, 1), bos_id, np.int32)
-    done = np.zeros(B, bool)
-    result = []
-    for pos in range(session.max_decode_len):
-        log_probs, cache = session.step(cache, tok, kvs, enc_flat_ids, pos)
-        rng, sub = jax.random.split(rng)
-        ys = np.asarray(jax.random.categorical(sub, log_probs, axis=-1))
-        result.append(ys)
-        done |= ys == eos_id
-        tok = ys[:, None].astype(np.int32)
-        if done.all():
-            break
-    return _strip_eos(np.stack(result, 1), eos_id)
+    if sample:
+        assert rng is not None, "sampling decode needs an rng key"
+    loop = session._sample_loop if sample else session._greedy_loop
+    out = loop(session.params, cache, session._tok0(B, bos_id), enc_flat_ids,
+               kvs, jnp.asarray(eos_id, jnp.int32),
+               rng if rng is not None else jax.random.PRNGKey(0))
+    return _strip_eos(session._readback(out), eos_id)
 
 
 def beam_search_decode(session: DecoderSession, batch: EMDR2Batch,

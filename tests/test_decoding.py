@@ -82,6 +82,23 @@ class TestGreedy:
         assert a == b
 
 
+class TestSampling:
+    def test_device_loop_deterministic_per_key(self, setup):
+        """Sampling runs in the device-resident loop: same key -> same
+        tokens, different keys -> (generally) different tokens."""
+        cfg, model, params, batch = setup
+        session = DecoderSession(model, params, max_decode_len=5)
+        a = greedy_decode(session, batch, bos_id=1, eos_id=0,
+                          rng=jax.random.PRNGKey(7), sample=True)
+        b = greedy_decode(session, batch, bos_id=1, eos_id=0,
+                          rng=jax.random.PRNGKey(7), sample=True)
+        c = greedy_decode(session, batch, bos_id=1, eos_id=0,
+                          rng=jax.random.PRNGKey(8), sample=True)
+        assert a == b
+        assert a != c
+        assert all(1 <= len(h) <= 5 for h in a)
+
+
 class TestBeam:
     def test_beam1_matches_greedy(self, setup):
         cfg, model, params, batch = setup
