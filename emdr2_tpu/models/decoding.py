@@ -273,9 +273,10 @@ class DecoderSession:
         decode_lp = self._decode_lp
         max_len = self.max_decode_len
 
+        # length_penalty traces fine on jnp scalars; single source for the
+        # polynomial normalization formula
         def lp_poly(n):
-            # jnp-traced polynomial length normalization (lp above)
-            return ((5.0 + n) / 6.0) ** alpha
+            return length_penalty(n, alpha)
 
         def beam_loop(params, cache, tok0, enc_flat_ids, kvs, eos_id):
             """Length-normalized beam search fully on device, parity with

@@ -329,7 +329,6 @@ class Attention(nn.Module):
                 # kv-slab kernel: consumes the query/key_value projections
                 # directly, VJP emits dq + the combined dkv slab — no
                 # split/head-transpose relayouts of the [Lk, 2H] projection
-                from emdr2_tpu.ops.fid_attention import flash_cross_attention
                 Lk = kv_proj.shape[-3]
                 key_chunk = min(cfg.flash_key_chunk, Lk)
                 rem = Lk % key_chunk

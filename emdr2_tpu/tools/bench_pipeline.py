@@ -167,11 +167,16 @@ def bench_overlap(corpus, B: int, K: int, iters: int = 8):
     # resident — uses the quantized index (1 GB, recall ~1.0 at
     # cands_per_group=2). Built in row chunks to bound the fp32 transient.
     from emdr2_tpu.ops.mips import quantize_int8
-    g = icfg.group_size
+    g, dim = icfg.group_size, icfg.embed_dim
+    assert n_docs % g == 0, (
+        f"--n-docs must be a multiple of the quantization group size {g}")
     quant = jax.jit(lambda x: quantize_int8(x.astype(jnp.float32), g))
+    # ~8 group-aligned chunks, covering every row for any aligned n_docs
+    chunk = max(g, n_docs // 8 // g * g)
     parts = [quant(jax.random.normal(jax.random.PRNGKey(100 + i),
-                                     (n_docs // 8, 768), jnp.bfloat16))
-             for i in range(8)]
+                                     (min(chunk, n_docs - s), dim),
+                                     jnp.bfloat16))
+             for i, s in enumerate(range(0, n_docs, chunk))]
     shard = jnp.concatenate([p[0] for p in parts])
     scales = jnp.concatenate([p[1] for p in parts])
     del parts
@@ -330,13 +335,12 @@ def main(argv=None):
                         "scale (host update vs zero-copy device swap)")
     args = p.parse_args(argv)
 
-    import jax
+    import sys
 
-    # amortize the flagship-step compile across runs (same cache bench.py uses)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_default_prng_impl", "rbg")
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    import bench  # noqa: F401 — applies the shared jax compilation-cache
+    # + hardware-RNG config on import (single source with bench.py)
+    import jax
 
     import jax.numpy as jnp
     from emdr2_tpu.config import EMDR2Config, bert_base
