@@ -67,6 +67,11 @@ class TestE2ETrain:
         em, n = task.evaluate_em(ds_odd, batch_size=8, max_decode_len=4)
         assert n == 19, "tail-batch examples were dropped"
         assert 0.0 <= em <= 100.0
+        # beam eval drives the grouped-K/V device loop at the task level
+        emb_, nb = task.evaluate_em(ds_odd, batch_size=8, max_decode_len=4,
+                                    beam_size=3)
+        assert nb == 19
+        assert 0.0 <= emb_ <= 100.0
 
     def test_metrics_structure(self, world):
         cfg, tok, corpus, ds, _ = world
