@@ -129,8 +129,20 @@ class DecoderSession:
         def reorder(cache, parent_idx):
             return _take_rows(cache, parent_idx)
 
+        def fresh_cache(enc_flat_ids, kvs, rows):
+            """Zeroed decode cache, traced INSIDE the loop jits: the param
+            initialization in model.init is dead code XLA eliminates (only
+            the cache zeros survive), and building the cache in-loop saves
+            a separate init dispatch + donated-transfer round-trip per eval
+            batch (~30 ms through a remote-device tunnel)."""
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((rows, 1), jnp.int32), None, enc_flat_ids, 0, kvs,
+                method=EMDR2Model.decode_step)
+            return variables["cache"]
+
         def make_token_loop(sample: bool):
-            def token_loop(params, cache, tok0, enc_flat_ids, kvs,
+            def token_loop(params, tok0, enc_flat_ids, kvs,
                            eos_id, rng, max_len=max_decode_len):
                 """Device-resident token decode: one dispatch per batch.
 
@@ -144,6 +156,7 @@ class DecoderSession:
                 SampleOrGreedySearch sampling mode, search_strategy.py:213)
                 with a position-folded key instead of taking the argmax."""
                 B = tok0.shape[0]
+                cache = fresh_cache(enc_flat_ids, kvs, B)
                 out0 = jnp.zeros((B, max_len), jnp.int32)
                 done0 = jnp.zeros((B,), bool)
 
@@ -177,10 +190,11 @@ class DecoderSession:
         # explicit dp out-sharding under a mesh: generated tokens come back
         # as a dp-sharded global array each process reads its rows from
         _jit = functools.partial(
-            jax.jit, donate_argnums=(1,),
+            jax.jit,
             **({"out_shardings": self._dp} if self._dp is not None else {}))
         self._greedy_loop = _jit(make_token_loop(sample=False))
         self._sample_loop = _jit(make_token_loop(sample=True))
+        self._fresh_cache = fresh_cache
         self._beam_loops = {}
 
     # --------------------------------------------------------- mesh plumbing
@@ -278,7 +292,7 @@ class DecoderSession:
         def lp_poly(n):
             return length_penalty(n, alpha)
 
-        def beam_loop(params, cache, tok0, enc_flat_ids, kvs, eos_id):
+        def beam_loop(params, tok0, enc_flat_ids, kvs, eos_id):
             """Length-normalized beam search fully on device, parity with
             BeamSearch (search_strategy.py:124-178): the per-token top-k,
             ended-hypothesis freezing (score frozen, only the first
@@ -291,6 +305,7 @@ class DecoderSession:
             re-normalizes by lp(len) — algebraically identical to the
             reference's normalize-at-selection."""
             B = tok0.shape[0]
+            cache = self._fresh_cache(enc_flat_ids, kvs, B)
 
             # ---- step 0 on B rows, fan out B -> B*k -------------------
             lp0, cache = decode_lp(params, cache, tok0, enc_flat_ids, kvs, 0)
@@ -353,7 +368,7 @@ class DecoderSession:
                 seqs3, best_row[:, None, None], axis=1)[:, 0]
 
         return jax.jit(
-            beam_loop, donate_argnums=(1,),
+            beam_loop,
             **({"out_shardings": self._dp} if self._dp is not None else {}))
 
 
@@ -382,12 +397,11 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
     search_strategy.py:213-217)."""
     kvs, enc_flat_ids = session.encode(batch)
     B = enc_flat_ids.shape[0]  # global rows
-    cache = session.init_cache(B, kvs, enc_flat_ids)
 
     if sample:
         assert rng is not None, "sampling decode needs an rng key"
     loop = session._sample_loop if sample else session._greedy_loop
-    out = loop(session.params, cache, session._tok0(B, bos_id), enc_flat_ids,
+    out = loop(session.params, session._tok0(B, bos_id), enc_flat_ids,
                kvs, jnp.asarray(eos_id, jnp.int32),
                rng if rng is not None else jax.random.PRNGKey(0))
     return _strip_eos(session._readback(out), eos_id)
@@ -405,8 +419,7 @@ def beam_search_decode(session: DecoderSession, batch: EMDR2Batch,
     token (:87-100)."""
     kvs, enc_flat_ids = session.encode(batch)
     B = enc_flat_ids.shape[0]  # global rows
-    cache = session.init_cache(B, kvs, enc_flat_ids)
     out = session.beam_loop(beam_size, alpha)(
-        session.params, cache, session._tok0(B, bos_id), enc_flat_ids, kvs,
+        session.params, session._tok0(B, bos_id), enc_flat_ids, kvs,
         jnp.asarray(eos_id, jnp.int32))
     return _strip_eos(session._readback(out), eos_id)
