@@ -249,15 +249,8 @@ class DecoderSession:
         if not hasattr(self, "_init_fns"):
             self._init_fns = {}
         if key not in self._init_fns:
-            model = self.model
-
-            def init_fn(enc_flat_ids, kvs):
-                dec_tok = jnp.zeros((batch_rows, 1), jnp.int32)
-                variables = model.init(
-                    {"params": jax.random.PRNGKey(0)}, dec_tok, None,
-                    enc_flat_ids, 0, kvs, method=EMDR2Model.decode_step)
-                return variables["cache"]
-
+            # single source with the in-loop construction (fresh_cache)
+            init_fn = functools.partial(self._fresh_cache, rows=batch_rows)
             if self.mesh is None:
                 self._init_fns[key] = jax.jit(init_fn)
             else:
@@ -400,6 +393,13 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
 
     if sample:
         assert rng is not None, "sampling decode needs an rng key"
+        if session.mesh is not None and jax.process_count() > 1:
+            # every controller must drive the SPMD loop with the same key:
+            # differing keys desynchronize the all-rows-EOS early-exit
+            # predicate (different trip counts per process -> hung
+            # collectives). Broadcast process 0's key.
+            from jax.experimental import multihost_utils
+            rng = multihost_utils.broadcast_one_to_all(rng)
     loop = session._sample_loop if sample else session._greedy_loop
     out = loop(session.params, session._tok0(B, bos_id), enc_flat_ids,
                kvs, jnp.asarray(eos_id, jnp.int32),

@@ -124,6 +124,24 @@ class AsyncIndexRefresher:
         if step - self._last_reload_step < self.reload_interval:
             return False
         with self._result_lock:
+            ready = self._result is not None
+        if jax.process_count() > 1:
+            # Readiness is a per-process wall-clock race (each host's
+            # embedder thread finishes at its own time). Swapping must
+            # happen at the SAME iteration on every controller — the swap
+            # feeds the engine's collective checkpoint save, and
+            # _last_reload_step/_publish_weights must stay in lockstep so
+            # all hosts embed the next index from the same weight version.
+            # Agree with an allgather of the local flags (safe here: called
+            # from the main thread at a deterministic step on every
+            # process). The reference gets this ordering from its blocking
+            # Gloo broadcasts (async_indexer.py:116-144).
+            from jax.experimental import multihost_utils
+            flags = multihost_utils.process_allgather(np.asarray([ready]))
+            ready = bool(np.all(flags))
+        if not ready:
+            return False
+        with self._result_lock:
             emb, self._result = self._result, None
         if emb is None:
             return False

@@ -102,6 +102,21 @@ def train(task, dataset, cfg: EMDR2Config,
         epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch,
                                               **dist_kw)
         if prefetch_depth > 0:
+            import jax as _jax
+            if _jax.process_count() > 1:
+                # Same multi-controller hazard AsyncIndexRefresher rejects
+                # for shared-mesh embedders: the prefetch worker dispatches
+                # globally-jitted collectives (query embed + index search)
+                # on the train mesh concurrently with the main thread's
+                # step, and two controllers can enqueue the two programs in
+                # opposite orders -> cross-host collective deadlock. Fall
+                # back to the synchronous stage A+B (~3% of the step) so
+                # the flagship scripts stay launchable on multi-host pods.
+                print("prefetch-depth > 0 is single-host only (concurrent "
+                      "global collectives can deadlock across controllers); "
+                      "falling back to synchronous input prep")
+                prefetch_depth = 0
+        if prefetch_depth > 0:
             from emdr2_tpu.training.prefetch import BatchPrefetcher
             # the worker embeds stage-A queries from a donation-safe
             # query-tower snapshot (refreshed after every step), so the
