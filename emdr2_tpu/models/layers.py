@@ -70,25 +70,29 @@ def _kernel_mesh(cfg, rows: int):
 
 
 class PackedDropout(nn.Module):
-    """Inverted dropout with PACKED hardware-RNG mask bits.
+    """Inverted dropout whose mask is a fusible counter hash — no
+    materialized rng bits at all.
 
     ``nn.Dropout`` lowers each site to an ``rng-bit-generator`` emitting a
     u32 PER ELEMENT; the bits tensor is a separate HLO op (not fusible into
     the elementwise apply), so every site pays ~8 B/element of pure mask
-    HBM traffic on top of the apply. Here the site draws u32[..., H/2] and
-    derives TWO masks per word — low 16 bits gate the first half of the
-    feature dim, high 16 bits the second — so the materialized bits tensor
-    is HALF the size. The two halves join through a concatenate, which XLA
-    fuses into the select loop (no sub-word storage: a u16 bitcast+reshape
-    instead lowers to u32-layout copies on TPU and LOSES memory — measured).
+    HBM traffic on top of the apply. An earlier revision halved that by
+    packing two u16 draws per generated word (recovering ~41 ms/step at
+    flagship shape); this version eliminates the bits tensor entirely: the
+    keep mask is a murmur3-style integer hash of (key data, per-axis
+    element coordinates) — the same counter-hash construction the flash
+    kernels use for in-kernel attention dropout
+    (``ops/fid_attention._keep_mask``). Pure elementwise integer math on
+    ``broadcasted_iota``, so XLA fuses the whole mask into the consuming
+    select: ~15 VPU ops/element instead of an HBM round-trip, and the
+    remat-backward regenerates the identical mask from the same rng key.
 
-    The keep probability quantizes to 1/65536ths (rate 0.1 keeps with
-    p = 1 - 6554/65536 = 0.89999390); the inverted-dropout scale uses the
-    QUANTIZED rate, so this is an *exact* dropout at a rate within 6.2e-5
-    of the configured one (the reference's fp32-uniform comparison has its
-    own 2^-24 quantization; it uses plain torch dropout,
-    transformer.py:469-478). Falls back to ``nn.Dropout`` for odd trailing
-    dims. Measured on the flagship step: see README (dropout cost row).
+    The keep probability quantizes to 2^-32ths and the inverted-dropout
+    scale uses the QUANTIZED rate, so this is an *exact* dropout at a rate
+    within 2.4e-10 of the configured one (the reference's fp32-uniform
+    comparison has its own 2^-24 quantization; it uses plain torch dropout,
+    transformer.py:469-478). Measured on the flagship step: see README
+    (dropout cost rows).
     """
 
     rate: float
@@ -97,16 +101,32 @@ class PackedDropout(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if deterministic or self.rate == 0.0:
             return x
-        t = round(self.rate * 65536.0)
-        if x.shape[-1] % 2 or t <= 0 or t >= 65536:
+        t = round(self.rate * 4294967296.0)
+        if t <= 0 or t >= 2**32:
             return nn.Dropout(self.rate)(x, deterministic=False)
         key = self.make_rng("dropout")
-        half = x.shape[:-1] + (x.shape[-1] // 2,)
-        bits = jax.random.bits(key, half, jnp.uint32)
-        keep = jnp.concatenate(
-            [(bits & jnp.uint32(0xFFFF)) >= jnp.uint32(t),
-             (bits >> jnp.uint32(16)) >= jnp.uint32(t)], axis=-1)
-        scale = jnp.asarray(65536.0 / (65536 - t), x.dtype)
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
+        kd = key.astype(jnp.uint32).reshape(-1)
+        # fold the key words into one u32 seed (flax already folds the
+        # module path into the key, so every dropout site gets its own)
+        seed = kd[0]
+        for i in range(1, kd.shape[0]):
+            seed = seed * jnp.uint32(0x9E3779B1) ^ kd[i]
+        axis_primes = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
+                       0x165667B1, 0xFF51AFD7, 0xC4CEB9FF, 0x2545F491)
+        h = jnp.broadcast_to(seed, x.shape)
+        for axis in range(x.ndim):
+            idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape, axis)
+            h = h ^ (idx * jnp.uint32(axis_primes[axis % len(axis_primes)]))
+        # murmur3 finalizer (avalanche), as in ops/fid_attention._keep_mask
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        keep = h >= jnp.uint32(t)
+        scale = jnp.asarray(4294967296.0 / (4294967296 - t), x.dtype)
         return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 
 

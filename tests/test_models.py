@@ -244,8 +244,8 @@ class TestEMDR2:
 
 
 class TestPackedDropout:
-    """PackedDropout (models/layers.py): u16-threshold dropout must be an
-    exact inverted dropout at the quantized rate."""
+    """PackedDropout (models/layers.py): counter-hash dropout must be an
+    exact inverted dropout at the u32-quantized rate."""
 
     def test_statistics_and_scale(self):
         from emdr2_tpu.models.layers import PackedDropout
@@ -256,9 +256,9 @@ class TestPackedDropout:
         y = m.apply({}, x, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(0)})
         y = np.asarray(y)
-        t = round(rate * 65536)
-        q_rate = t / 65536.0
-        scale = 65536.0 / (65536 - t)
+        t = round(rate * 4294967296.0)
+        q_rate = t / 4294967296.0
+        scale = 4294967296.0 / (4294967296 - t)
         # kept elements carry exactly the inverted-dropout scale
         kept = y[y != 0]
         np.testing.assert_allclose(kept, scale, rtol=1e-6)
