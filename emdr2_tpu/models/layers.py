@@ -331,9 +331,8 @@ class Attention(nn.Module):
                         (kvB, g) + bias.shape[1:])
                     scores = scores + b5
                 probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-                if not deterministic and cfg.attention_dropout > 0.0:
-                    probs = nn.Dropout(cfg.attention_dropout)(
-                        probs, deterministic=False)
+                probs = PackedDropout(cfg.attention_dropout)(
+                    probs, deterministic=deterministic)
                 ctx = jnp.einsum("bgnqk,bnkd->bgqnd", probs,
                                  v.astype(cfg.dtype))
                 return out_proj(ctx.reshape(Bq, Lq, h))
@@ -452,7 +451,8 @@ class Attention(nn.Module):
         if bias is not None:
             scores = scores + bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        probs = PackedDropout(cfg.attention_dropout)(
+            probs, deterministic=deterministic)
         out = jnp.einsum("...nqk,...knd->...qnd", probs, v,
                          preferred_element_type=cfg.dtype)
         out = out.reshape(out.shape[:-2] + (h,))
