@@ -78,10 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=1234)
     g.add_argument("--rng-impl", default="rbg",
                    choices=["rbg", "threefry2x32"],
-                   help="PRNG for dropout masks etc. rbg uses the TPU "
-                        "hardware RNG: measured -133 ms (-8.6%%) on the "
-                        "flagship train step vs threefry, identical "
-                        "statistics; threefry2x32 for bit-exact "
+                   help="jax PRNG implementation. Dropout masks no longer "
+                        "generate rng bits (PackedDropout hashes the key "
+                        "words + element coordinates), so this now only "
+                        "affects key derivation and any residual "
+                        "jax.random draws; threefry2x32 gives bit-exact "
                         "key-derivation reproducibility across backends")
     g.add_argument("--log-interval", type=int, default=20)
     g.add_argument("--save-interval", type=int, default=500)

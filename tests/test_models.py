@@ -298,9 +298,30 @@ class TestPackedDropout:
         g = np.asarray(jax.grad(f)(x))
         y = np.asarray(m.apply({}, x, deterministic=False,
                                rngs={"dropout": jax.random.PRNGKey(3)}))
-        t = round(0.25 * 65536)
-        scale = 65536.0 / (65536 - t)
+        t = round(0.25 * 4294967296.0)
+        scale = 4294967296.0 / (4294967296 - t)
         np.testing.assert_allclose(g, np.where(y != 0, scale, 0.0), rtol=1e-6)
+
+    def test_mask_independence(self):
+        """Counter-hash quality: adjacent elements and different keys must
+        be uncorrelated (P(both kept) ~ p_keep^2 at 5 sigma)."""
+        from emdr2_tpu.models.layers import PackedDropout
+
+        rate = 0.5  # maximal variance -> most sensitive
+        m = PackedDropout(rate)
+        x = jnp.ones((512, 2048), jnp.float32)
+        ka = np.asarray(m.apply({}, x, deterministic=False,
+                                rngs={"dropout": jax.random.PRNGKey(11)})) != 0
+        kb = np.asarray(m.apply({}, x, deterministic=False,
+                                rngs={"dropout": jax.random.PRNGKey(12)})) != 0
+        p = 1.0 - rate
+        n = ka.size
+        sigma = (p * p * (1 - p * p) / n) ** 0.5
+        # lane-adjacent, row-adjacent, and cross-key joint keep rates
+        for joint in ((ka[:, 1:] & ka[:, :-1]).mean(),
+                      (ka[1:, :] & ka[:-1, :]).mean(),
+                      (ka & kb).mean()):
+            assert abs(float(joint) - p * p) < 5 * sigma, (joint, p * p)
 
 
 class TestRematPolicy:
