@@ -218,6 +218,39 @@ class DecoderSession:
         return make_global_array(
             self.mesh, np.full((local, 1), bos_id, np.int32))
 
+    def _broadcast_key(self, rng):
+        """Process 0's rng key to every process, via a collective restricted
+        to the session mesh (never the embed sub-mesh — see the call site).
+        Handles typed keys and raw uint32 key arrays."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        typed = jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+        impl = jax.random.key_impl(rng) if typed else None
+        kd = np.asarray(jax.random.key_data(rng) if typed else rng)
+        orig_shape, orig_dtype = kd.shape, kd.dtype
+        kd = kd.reshape(-1).astype(np.uint32)
+        mesh = self.mesh
+        dp_ax = mesh.axis_names[0]
+        shape = (mesh.shape[dp_ax], kd.size)
+        sh = NamedSharding(mesh, P(dp_ax, None))
+        # each process fills its own dp rows with ITS key words ...
+        arr = jax.make_array_from_callback(
+            shape, sh, lambda idx: np.broadcast_to(
+                kd, (len(range(*idx[0].indices(shape[0]))), kd.size)))
+        # ... and a jitted row-0 gather replicates the dp-slice-0 owner's
+        # (process 0's) words to everyone
+        key = ("bcast_key", shape)
+        if not hasattr(self, "_bcast_fns"):
+            self._bcast_fns = {}
+        if key not in self._bcast_fns:
+            self._bcast_fns[key] = jax.jit(
+                lambda a: a[0], out_shardings=NamedSharding(mesh, P()))
+        words = np.asarray(self._bcast_fns[key](arr))
+        words = words.astype(orig_dtype).reshape(orig_shape)
+        if typed:
+            return jax.random.wrap_key_data(jnp.asarray(words), impl=impl)
+        return jnp.asarray(words)
+
     def _readback(self, out) -> np.ndarray:
         """Generated-token array -> this process's rows."""
         if self.mesh is None:
@@ -397,9 +430,11 @@ def greedy_decode(session: DecoderSession, batch: EMDR2Batch,
             # every controller must drive the SPMD loop with the same key:
             # differing keys desynchronize the all-rows-EOS early-exit
             # predicate (different trip counts per process -> hung
-            # collectives). Broadcast process 0's key.
-            from jax.experimental import multihost_utils
-            rng = multihost_utils.broadcast_one_to_all(rng)
+            # collectives). Broadcast process 0's key over the SESSION
+            # mesh only — multihost_utils.broadcast_one_to_all builds an
+            # all-device mesh, which would race a concurrently-embedding
+            # async refresher's collectives on the embed sub-mesh.
+            rng = session._broadcast_key(rng)
     loop = session._sample_loop if sample else session._greedy_loop
     out = loop(session.params, session._tok0(B, bos_id), enc_flat_ids,
                kvs, jnp.asarray(eos_id, jnp.int32),

@@ -107,25 +107,18 @@ class PackedDropout(nn.Module):
         key = self.make_rng("dropout")
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
             key = jax.random.key_data(key)
+        from emdr2_tpu.ops.hashing import MIX_PRIMES, murmur_fin
         kd = key.astype(jnp.uint32).reshape(-1)
         # fold the key words into one u32 seed (flax already folds the
         # module path into the key, so every dropout site gets its own)
         seed = kd[0]
         for i in range(1, kd.shape[0]):
-            seed = seed * jnp.uint32(0x9E3779B1) ^ kd[i]
-        axis_primes = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
-                       0x165667B1, 0xFF51AFD7, 0xC4CEB9FF, 0x2545F491)
+            seed = seed * jnp.uint32(MIX_PRIMES[0]) ^ kd[i]
         h = jnp.broadcast_to(seed, x.shape)
         for axis in range(x.ndim):
             idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape, axis)
-            h = h ^ (idx * jnp.uint32(axis_primes[axis % len(axis_primes)]))
-        # murmur3 finalizer (avalanche), as in ops/fid_attention._keep_mask
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x85EBCA6B)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0xC2B2AE35)
-        h = h ^ (h >> 16)
-        keep = h >= jnp.uint32(t)
+            h = h ^ (idx * jnp.uint32(MIX_PRIMES[axis % len(MIX_PRIMES)]))
+        keep = murmur_fin(h) >= jnp.uint32(t)
         scale = jnp.asarray(4294967296.0 / (4294967296 - t), x.dtype)
         return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 

@@ -50,7 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _keep_mask(seed_ref, bh, rate: float, lq: int, c: int, j=None):
     """[lq, c] bool keep mask from a murmur3-style integer hash of
     (seed, batch*head index, chunk, row, col). Pure function of its
-    coordinates, so the backward kernel regenerates the identical mask."""
+    coordinates, so the backward kernel regenerates the identical mask.
+    Shares the finalizer/primes with PackedDropout (ops/hashing)."""
+    from emdr2_tpu.ops.hashing import murmur_fin
+
     j = (pl.program_id(1) if j is None else j).astype(jnp.uint32)
     r = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, (lq, c), 1)
@@ -58,11 +61,7 @@ def _keep_mask(seed_ref, bh, rate: float, lq: int, c: int, j=None):
     x = x ^ (seed_ref[0].astype(jnp.uint32)
              + bh.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
              + j * jnp.uint32(0x165667B1))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
+    x = murmur_fin(x)
     return x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
 
 

@@ -132,13 +132,15 @@ class AsyncIndexRefresher:
             # feeds the engine's collective checkpoint save, and
             # _last_reload_step/_publish_weights must stay in lockstep so
             # all hosts embed the next index from the same weight version.
-            # Agree with an allgather of the local flags (safe here: called
-            # from the main thread at a deterministic step on every
-            # process). The reference gets this ordering from its blocking
+            # Agree via a collective restricted to the TRAIN mesh (safe:
+            # called from the main thread at a deterministic step on every
+            # process, and multi-host requires the embedder on a DISJOINT
+            # sub-mesh, so this never races the worker thread's embed
+            # collectives — multihost_utils.process_allgather would build
+            # an all-device mesh and reintroduce exactly that enqueue-order
+            # race). The reference gets this ordering from its blocking
             # Gloo broadcasts (async_indexer.py:116-144).
-            from jax.experimental import multihost_utils
-            flags = multihost_utils.process_allgather(np.asarray([ready]))
-            ready = bool(np.all(flags))
+            ready = self._all_ready_on_train_mesh(ready)
         if not ready:
             return False
         with self._result_lock:
@@ -159,6 +161,25 @@ class AsyncIndexRefresher:
         if self.on_refresh is not None:
             self.on_refresh(step)
         return True
+
+    def _all_ready_on_train_mesh(self, ready: bool) -> bool:
+        """Global AND of the per-process readiness flags, computed as one
+        jitted min over a train-mesh-sharded int array (one element per
+        train device, each process filling its own shards)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.index.mesh
+        shape = tuple(mesh.shape[a] for a in mesh.axis_names)
+        sh = NamedSharding(mesh, P(*mesh.axis_names))
+        flag = np.int32(1 if ready else 0)
+        arr = jax.make_array_from_callback(
+            shape, sh,
+            lambda idx: np.full([1] * len(shape), flag, np.int32))
+        if getattr(self, "_agree_fn", None) is None:
+            import jax.numpy as jnp
+            self._agree_fn = jax.jit(
+                jnp.min, out_shardings=NamedSharding(mesh, P()))
+        return bool(np.asarray(self._agree_fn(arr)))
 
     def stop(self, wait: bool = True) -> None:
         self._stop.set()

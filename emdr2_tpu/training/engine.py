@@ -97,25 +97,25 @@ def train(task, dataset, cfg: EMDR2Config,
                 "world_size": _jax.process_count()}
                if _jax.process_count() > 1 else {})
 
+    if prefetch_depth > 0 and _jax.process_count() > 1:
+        # Same multi-controller hazard AsyncIndexRefresher rejects for
+        # shared-mesh embedders: the prefetch worker dispatches globally-
+        # jitted collectives (query embed + index search) on the train mesh
+        # concurrently with the main thread's step, and two controllers can
+        # enqueue the two programs in opposite orders -> cross-host
+        # collective deadlock. Fall back to the synchronous stage A+B
+        # (~3% of the step) so the flagship scripts stay launchable on
+        # multi-host pods.
+        if _jax.process_index() == 0:
+            printer("prefetch-depth > 0 is single-host only (concurrent "
+                    "global collectives can deadlock across controllers); "
+                    "falling back to synchronous input prep")
+        prefetch_depth = 0
+
     epoch = start_epoch
     while iteration < total_iters and batches_per_epoch > 0:
         epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch,
                                               **dist_kw)
-        if prefetch_depth > 0:
-            import jax as _jax
-            if _jax.process_count() > 1:
-                # Same multi-controller hazard AsyncIndexRefresher rejects
-                # for shared-mesh embedders: the prefetch worker dispatches
-                # globally-jitted collectives (query embed + index search)
-                # on the train mesh concurrently with the main thread's
-                # step, and two controllers can enqueue the two programs in
-                # opposite orders -> cross-host collective deadlock. Fall
-                # back to the synchronous stage A+B (~3% of the step) so
-                # the flagship scripts stay launchable on multi-host pods.
-                print("prefetch-depth > 0 is single-host only (concurrent "
-                      "global collectives can deadlock across controllers); "
-                      "falling back to synchronous input prep")
-                prefetch_depth = 0
         if prefetch_depth > 0:
             from emdr2_tpu.training.prefetch import BatchPrefetcher
             # the worker embeds stage-A queries from a donation-safe

@@ -69,6 +69,17 @@ def main() -> None:
             map(str, np.asarray(rows).reshape(-1).tolist())), flush=True)
         print("VALS " + " ".join(
             f"{v:.5f}" for v in np.asarray(vals).reshape(-1)), flush=True)
+        # refresh-swap agreement: processes must reach the same verdict —
+        # False while ANY process's embedder is unfinished, True when all
+        # are (the lockstep-swap protocol maybe_swap runs at interval
+        # boundaries)
+        from types import SimpleNamespace
+
+        from emdr2_tpu.training.async_refresh import AsyncIndexRefresher
+        stub = SimpleNamespace(index=index)
+        mixed = AsyncIndexRefresher._all_ready_on_train_mesh(stub, pid == 0)
+        all_on = AsyncIndexRefresher._all_ready_on_train_mesh(stub, True)
+        print(f"AGREE {int(mixed)} {int(all_on)}", flush=True)
         return
 
     losses = []
@@ -84,6 +95,16 @@ def main() -> None:
             em, n = task.evaluate_em(ds, batch_size=total, max_decode_len=4)
             vl = task.validation_loss(ds, batch_size=total)
             print(f"EVAL {em:.6f} {n} {vl['loss']:.8f}", flush=True)
+            # sampling-decode key broadcast: every process passes a
+            # DIFFERENT key (the realistic hazard); the session must
+            # broadcast process 0's over its mesh so the SPMD token loop
+            # stays in lockstep. Parent asserts the words agree.
+            from emdr2_tpu.models.decoding import DecoderSession
+            session = DecoderSession(task.model, task.state.params, 4,
+                                     mesh=mesh)
+            bk = session._broadcast_key(jax.random.PRNGKey(100 + pid))
+            print("BKEY " + " ".join(
+                map(str, np.asarray(bk).reshape(-1).tolist())), flush=True)
     print("LOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
 
 

@@ -38,7 +38,8 @@ def _spawn_workers(tmp_path, nproc=2, ndev=4, timeout=900, mode="train"):
     parsed = {}
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
-        keys = (("LOSSES", "EVAL") if mode == "train" else ("ROWS", "VALS"))
+        keys = (("LOSSES", "EVAL", "BKEY") if mode == "train"
+                else ("ROWS", "VALS", "AGREE"))
         for key in keys:
             lines = [ln for ln in out.splitlines() if ln.startswith(key)]
             assert lines, out[-2000:]
@@ -60,6 +61,10 @@ class TestMultiHostTask:
         # agrees across processes: both score all 24 questions
         np.testing.assert_allclose(mh_eval[0], mh_eval[1], rtol=1e-6)
         assert mh_eval[0][1] == 24  # n deduped uids = dataset size
+        # sampling-rng broadcast: each worker passed PRNGKey(100 + pid);
+        # both must end up with process 0's key words
+        bkeys = parsed["BKEY"]
+        np.testing.assert_array_equal(bkeys[0], bkeys[1])
 
         # single-process 8-device run of the same world/seeds
         import jax
@@ -107,6 +112,9 @@ class TestMultiHostRefresh:
         np.testing.assert_array_equal(parsed["ROWS"][0], parsed["ROWS"][1])
         np.testing.assert_allclose(parsed["VALS"][0], parsed["VALS"][1],
                                    rtol=1e-6)
+        # lockstep-swap agreement: mixed readiness (only p0 ready) -> both
+        # refuse; all ready -> both swap
+        assert parsed["AGREE"][0] == parsed["AGREE"][1] == [0.0, 1.0]
 
         # single-process reference: full-matrix embed + update on 8 devices
         import jax
