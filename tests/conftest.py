@@ -71,6 +71,25 @@ SLOW_TESTS = {
 }
 
 
+@pytest.fixture(autouse=True)
+def _restore_global_jax_config():
+    """Undo global jax.config mutations a test makes in-process.
+
+    tests/test_cli.py drives ``emdr2_tpu.tasks.run.main`` in-process, which
+    sets ``jax_default_prng_impl`` (default "rbg") for the CLI run. Left
+    leaked, every later test in the same pytest process inits params with a
+    different PRNG than a fresh interpreter — test_multihost's in-process
+    single-host reference then silently diverges from its spawned workers
+    (same PRNGKey(0), different impl, ~1% different losses / disjoint
+    embeddings). Snapshot + restore around every test keeps such CLI-side
+    config local to the test that set it.
+    """
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="also run the slow multi-process/train-loop tests")
