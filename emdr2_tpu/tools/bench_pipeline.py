@@ -116,6 +116,59 @@ def bench_refresh(n_docs: int, iters: int = 3):
             "swap_device_ms": round(dev_ms, 1)}
 
 
+def bench_embed(corpus, batch_size: int = 512):
+    """Corpus-embedding throughput of the async refresher's hot loop.
+
+    Times ``EvidenceIndexBuilder.embed_corpus_device`` (the zero-copy
+    refresh path, training/async_refresh.py) end-to-end over a synthetic
+    pre-tokenized corpus: C++ row formatting + H2D + context-tower forward
+    + device-resident placement. This is the number that decides whether
+    the BASELINE "overlapped refresh" cadence is feasible: the reference's
+    8 indexer GPUs re-embed all 21M passages once per refresh
+    (indexer_emdr2.py:77-114), so passages/s/chip bounds how stale the
+    index gets at a given `--index-reload-interval`.
+    """
+    import jax
+
+    from emdr2_tpu.config import EMDR2Config, bert_base
+    from emdr2_tpu.models.bert import BertEncoder
+    from emdr2_tpu.parallel.mesh import build_mesh
+    from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+
+    mesh = build_mesh()
+    cfg = EMDR2Config()
+    # the context tower alone (BertEncoder == one DualEncoder tower): same
+    # math as EMDR2Model.embed_context without initializing 440M params
+    enc = BertEncoder(bert_base(
+        fid_flash_attention=jax.default_backend() != "cpu"))
+    ids0 = np.zeros((2, cfg.retriever.seq_len), np.int32)
+    params = enc.init({"params": jax.random.PRNGKey(0)}, ids0)["params"]
+    builder = EvidenceIndexBuilder(
+        cfg, mesh, enc, corpus, cls_id=2, sep_id=3, pad_id=0,
+        batch_size=batch_size, embed_method=BertEncoder.embed)
+
+    n = len(corpus)
+    dev = max(1, len(mesh.devices.ravel()))
+    out_rows = -(-n // dev) * dev
+    # pass 1 compiles + warms; pass 2 is the measurement
+    buf = builder.embed_corpus_device(params, out_rows)
+    np.asarray(jax.device_get(buf[0, 0]))   # fence (see bench_refresh)
+    t0 = time.time()
+    buf = builder.embed_corpus_device(params, out_rows)
+    np.asarray(jax.device_get(buf[0, 0]))
+    wall = time.time() - t0
+    pps = n / wall
+    return {
+        "batch_size": builder.batch_size,
+        "passages_per_sec_per_chip": round(pps, 1),
+        "ms_per_batch": round(wall / -(-n // builder.batch_size) * 1e3, 2),
+        # per-chip share of the reference's 16-GPU layout (21M/16 rows)
+        "shard_1p31M_refresh_s": round(1_310_720 / pps, 1),
+        # full 21M corpus on the flagship 8-chip embedder sub-mesh
+        "full_21M_8chip_refresh_s": round(21_015_324 / (8 * pps), 1),
+    }
+
+
 def bench_overlap(corpus, B: int, K: int, iters: int = 8):
     """Full-iteration throughput with the prefetch pipeline engaged.
 
@@ -333,6 +386,10 @@ def main(argv=None):
     p.add_argument("--refresh", action="store_true",
                    help="also measure index hot-swap wall time at shard "
                         "scale (host update vs zero-copy device swap)")
+    p.add_argument("--embed", action="store_true",
+                   help="measure corpus-embedding throughput of the "
+                        "refresher's zero-copy path (passages/s/chip)")
+    p.add_argument("--embed-batch", type=int, default=512)
     args = p.parse_args(argv)
 
     import sys
@@ -351,7 +408,7 @@ def main(argv=None):
     cache = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
     cache.mkdir(exist_ok=True)
 
-    if args.overlap or args.refresh:
+    if args.overlap or args.refresh or args.embed:
         # exclusive modes: each owns most of HBM at flagship scale, so they
         # run instead of (not alongside) the standalone stage-A/B pass
         result = {"n_docs": args.n_docs, "batch": args.batch,
@@ -364,6 +421,11 @@ def main(argv=None):
             result["overlap"] = bench_overlap(corpus, args.batch, args.topk)
         if args.refresh:
             result["refresh"] = bench_refresh(args.n_docs)
+        if args.embed:
+            # a 65,536-row corpus is plenty to saturate the tower; the
+            # throughput number projects linearly to the 1.31M shard
+            corpus = build_world(cache, min(args.n_docs, 65_536))
+            result["embed"] = bench_embed(corpus, args.embed_batch)
         print(json.dumps(result))
         return
 

@@ -149,6 +149,35 @@ class TestT5:
             method=T5Model.decode_gold_log_probs))
         np.testing.assert_allclose(chunked, dense, atol=2e-5)
 
+    def test_chunked_gold_head_never_materializes_full_logits(self, cfg):
+        """The memory contract of the online-logsumexp teacher head: the
+        compiled module must not contain a full-vocab fp32 logits tensor
+        (f32[B, L, V] is 0.79 GB at flagship teacher shape — the reason the
+        chunked head exists), only the [B, L, V/4] chunk inside the scan."""
+        tc = cfg.reader.transformer
+        assert tc.vocab_size % 4 == 0
+        model = T5Model(tc)
+        rng = np.random.RandomState(0)
+        enc = jnp.asarray(rng.randint(2, 500, (3, 6)), jnp.int32)
+        dec = jnp.asarray(rng.randint(1, 500, (3, 4)), jnp.int32)
+        labels = jnp.asarray(rng.randint(0, tc.vocab_size, (3, 4)), jnp.int32)
+        params = model.init(rngs(), enc, dec)
+        hidden = model.apply(params, enc, method=T5Model.encode)
+        from emdr2_tpu.data import masks
+        mask = masks.attention_mask(dec, enc)
+
+        def gold(p, d, h, m, lab):
+            return model.apply(p, d, h, m, lab,
+                               method=T5Model.decode_gold_log_probs)
+
+        txt = jax.jit(gold).lower(
+            params, dec, hidden, mask, labels).compile().as_text()
+        B, L, V = dec.shape[0], dec.shape[1], tc.vocab_size
+        assert f"f32[{B},{L},{V}]" not in txt, (
+            "full-vocab fp32 logits materialized in the teacher gold head")
+        assert f"f32[{B},{L},{V // 4}]" in txt, (
+            "expected the vocab-chunk logits block inside the scan")
+
     def test_causality(self, cfg):
         """Changing a future decoder token must not affect earlier logits."""
         tc = cfg.reader.transformer
