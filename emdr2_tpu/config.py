@@ -42,6 +42,13 @@ class TransformerConfig:
     attention_dropout: float = 0.1
     layernorm_epsilon: float = 1e-5
     init_std: float = 0.02           # init_method_std (arguments.py:200)
+    # MLP / LM-head activation. "erf" (exact, torch F.gelu) is the
+    # reference's DEFAULT and what every published checkpoint was trained
+    # with — --bias-gelu-fusion (the tanh approximation,
+    # fused_bias_gelu.py:31-60) is opt-in and no flagship script passes it
+    # (transformer.py:80-83, bert_model.py:87-91). "tanh" provided for
+    # checkpoints trained with the fusion flag.
+    gelu_variant: str = "erf"        # erf | tanh
     # output-layer init is always scaled by 1/sqrt(2*num_layers)
     # (model/utils.py:33-41) — see models/layers.py:scaled_init
     dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params always fp32

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from emdr2_tpu.config import RetrieverConfig, TransformerConfig
 from emdr2_tpu.data import masks
 from emdr2_tpu.models.layers import (Dense, Embeddings, LayerNorm,
-                                     TransformerStack, gelu_tanh,
+                                     TransformerStack, gelu,
                                      normal_init, sharding_constraint,
                                      with_lp)
 
@@ -95,7 +95,7 @@ class BertPretrainModel(nn.Module):
     def __call__(self, ids, tokentype_ids=None, deterministic: bool = True):
         hidden = self.bert(ids, tokentype_ids, deterministic)
         h = self.lm_dense(hidden)
-        h = gelu_tanh(h)
+        h = gelu(h, self.config.gelu_variant)
         h = self.lm_layernorm(h)
         lm_logits = (self.bert.attend(h)
                      + self.lm_bias.astype(jnp.float32))

@@ -54,6 +54,20 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=True)
 
 
+def gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — ``torch.nn.functional.gelu``, the reference's
+    DEFAULT activation (``transformer.py:80-83``, ``bert_model.py:87-91``):
+    ``--bias-gelu-fusion`` / ``--openai-gelu`` are opt-in flags that no
+    flagship script passes, so every published checkpoint was trained with
+    erf GELU. Verified numerically against the live reference model in
+    ``tests/test_reference_parity.py``."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu(x: jnp.ndarray, variant: str) -> jnp.ndarray:
+    return gelu_erf(x) if variant == "erf" else gelu_tanh(x)
+
+
 def _kernel_mesh(cfg, rows: int):
     """The mesh to shard_map a flash kernel over, or None for the plain
     call. ``pallas_call`` has no GSPMD partitioning rule — unwrapped on a
@@ -465,7 +479,7 @@ class MLP(nn.Module):
         cfg = self.config
         y = Dense(cfg.ffn_size, ("embed", "mlp"), dtype=cfg.dtype,
                   kernel_init=normal_init(cfg.init_std), name="wi")(x)
-        y = gelu_tanh(y)
+        y = gelu(y, cfg.gelu_variant)
         y = Dense(cfg.hidden_size, ("mlp", "embed"), dtype=cfg.dtype,
                   kernel_init=scaled_init(cfg.init_std, cfg.num_layers),
                   name="wo")(y)

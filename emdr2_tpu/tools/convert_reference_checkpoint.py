@@ -87,6 +87,11 @@ def convert_stack(sd: Dict, num_layers: int, num_heads: int, version: int,
     out: Dict = {}
     for i in range(num_layers):
         p = f"layers.{i}"
+        # the reference names the module ``self_attention``
+        # (transformer.py:447); ancient Megatron dumps used ``attention``
+        attn = (f"{p}.self_attention"
+                if f"{p}.self_attention.query_key_value.weight" in sd
+                else f"{p}.attention")
         layer: Dict = {
             "ln_self": _ln(sd, f"{p}.input_layernorm"),
             "self_attention": {
@@ -95,13 +100,13 @@ def convert_stack(sd: Dict, num_layers: int, num_heads: int, version: int,
                     # models/layers.py:FusedDense); flatten of the last two
                     # axes recovers the [q | k | v] slab
                     "kernel": _fused_kernel(_qkv_to_ours(
-                        _to_np(sd[f"{p}.attention.query_key_value.weight"]),
+                        _to_np(sd[f"{attn}.query_key_value.weight"]),
                         num_heads, 3, version), 3),
                     "bias": _qkv_bias_to_ours(
-                        _to_np(sd[f"{p}.attention.query_key_value.bias"]),
+                        _to_np(sd[f"{attn}.query_key_value.bias"]),
                         num_heads, 3, version).reshape(3, -1),
                 },
-                "out": _linear(sd, f"{p}.attention.dense"),
+                "out": _linear(sd, f"{attn}.dense"),
             },
             "mlp": {
                 "wi": _linear(sd, f"{p}.mlp.dense_h_to_4h"),
@@ -213,7 +218,11 @@ def convert_checkpoint(ckpt: Dict, kind: str = "auto",
     """Reference torch checkpoint dict -> {"retriever": ..., "reader": ...}
     (whichever halves are present)."""
     model = ckpt.get("model", ckpt)
-    version = int(ckpt.get("checkpoint_version", 3) or 3)
+    # NOTE: version 0 is a real value — `ckpt.get(...) or 3` would coerce it
+    # to 3 and misconvert every v0 QKV slab (caught by
+    # tests/test_reference_parity.py::test_t5_checkpoint_version0_layout)
+    version = ckpt.get("checkpoint_version", None)
+    version = 3 if version is None else int(version)
     if kind == "auto":
         if "encoder/t5_model" in model or "retriever/biencoder_model" in model:
             kind = "emdr2"
