@@ -26,6 +26,45 @@ from emdr2_tpu.models.layers import (
 )
 
 
+def _vocab_parallel_gold_log_probs(x, emb, bias, labels, mesh):
+    """Gold-token log-probs over a tp-sharded tied LM head, vocab-gather-free.
+
+    Parity: ``/root/reference/megatron/mpu/cross_entropy.py:25-110`` —
+    per-shard max -> pmax, per-shard sum-exp -> psum, per-shard masked gold
+    pick -> psum. ``x`` [rows, L, H] (rows dp-sharded), ``emb`` [V, H] and
+    ``bias`` [V] vocab-sharded over tp. Returns [rows, L] fp32 gold - lse.
+    """
+    from jax.sharding import PartitionSpec as P
+    dp_ax, tp_ax = mesh.axis_names
+
+    def local(xs, ws, bs, lb):
+        v_local = ws.shape[0]
+        start = jax.lax.axis_index(tp_ax) * v_local
+        lg = jnp.dot(xs, ws.T.astype(xs.dtype),
+                     preferred_element_type=jnp.float32) + bs
+        # max shift is an autodiff constant (cancels in the logsumexp
+        # derivative); pmax has no VJP rule, so it must only ever see the
+        # stop-gradient'd value
+        m = jax.lax.pmax(
+            jnp.max(jax.lax.stop_gradient(lg), axis=-1), tp_ax)
+        se = jax.lax.psum(
+            jnp.sum(jnp.exp(lg - m[..., None]), axis=-1), tp_ax)
+        lse = m + jnp.log(se)
+        local_lb = lb - start
+        in_range = (local_lb >= 0) & (local_lb < v_local)
+        picked = jnp.take_along_axis(
+            lg, jnp.clip(local_lb, 0, v_local - 1)[..., None], axis=-1
+        )[..., 0]
+        gold = jax.lax.psum(jnp.where(in_range, picked, 0.0), tp_ax)
+        return gold - lse
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dp_ax, None, None), P(tp_ax, None), P(tp_ax),
+                  P(dp_ax, None)),
+        out_specs=P(dp_ax, None), check_vma=False)(x, emb, bias, labels)
+
+
 class T5Model(nn.Module):
     config: TransformerConfig
 
@@ -114,10 +153,20 @@ class T5Model(nn.Module):
         mesh = cfg.mesh
         tp_sharded_vocab = (mesh is not None
                             and mesh.shape[mesh.axis_names[-1]] > 1)
+        if tp_sharded_vocab:
+            # vocab-parallel head (parity: mpu/cross_entropy.py:25-110): each
+            # tp shard matmuls only its own V/tp embedding rows, the lse and
+            # gold pick combine with psum/pmax — the [*, L, V] logits tensor
+            # exists only as per-shard [*, L, V/tp] chunks, no vocab gather
+            dp = mesh.shape[mesh.axis_names[0]]
+            tp = mesh.shape[mesh.axis_names[-1]]
+            if V % tp == 0 and x.shape[0] % dp == 0:
+                return _vocab_parallel_gold_log_probs(
+                    x, emb, self.lm_bias, labels, mesh)
         if V % 4 or tp_sharded_vocab:
-            # dense fallback: odd vocab, or a tp-sharded vocab axis (chunk
-            # slices would cut across the shard boundary and force gathers;
-            # tp uses the vocab-parallel CE path instead)
+            # dense fallback: odd vocab, or a tp-sharded vocab axis with
+            # shapes that don't divide over the mesh (chunk slices would cut
+            # across the shard boundary and force gathers)
             logits = (self.shared_embeddings.attend(x)
                       + self.lm_bias).astype(jnp.float32)
             lse = jax.nn.logsumexp(logits, axis=-1)

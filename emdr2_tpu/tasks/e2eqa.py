@@ -256,7 +256,13 @@ class E2EQATask:
 
         Multi-host aware: every process iterates the same global batch
         sequence, feeds only its contiguous slice, and the mesh-sharded
-        forward reduces to identical replicated metrics everywhere."""
+        forward reduces to identical replicated metrics everywhere.
+
+        The tail batch is NOT dropped (VERDICT r3 weak #5): it is padded to
+        the static batch shape with duplicate rows whose ``loss_mask`` is
+        zeroed, so padded rows contribute no tokens to any of the
+        token-normalized losses, and per-batch means are weighted by real
+        example count when averaging."""
         from emdr2_tpu.parallel.distributed import make_global_batch
         batch_size = batch_size or self.global_batch_size
         procs, rank = jax.process_count(), jax.process_index()
@@ -280,17 +286,21 @@ class E2EQATask:
         totals: Dict[str, float] = {}
         n = 0
         for bi, batch in enumerate(dataset.epoch_batches(
-                batch_size, seed=0, shuffle=False, drop_last=True)):
+                batch_size, seed=0, shuffle=False, drop_last=False)):
             if max_batches is not None and bi >= max_batches:
                 break
+            real = len(batch.query_uid)
+            if real < batch_size:
+                batch = _pad_qa_batch(batch, batch_size,
+                                      zero_loss_mask=True)
             local = (_slice_qa_batch(batch, rank * per, (rank + 1) * per)
                      if procs > 1 else batch)
             device_batch = make_global_batch(
                 self.mesh, self.build_device_batch(local))
             m = self._jitted["eval_forward"](self.state, device_batch)
             for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            n += 1
+                totals[k] = totals.get(k, 0.0) + float(v) * real
+            n += real
         return {k: v / max(n, 1) for k, v in totals.items()}
 
     def evaluate_em(self, dataset, batch_size: Optional[int] = None,
@@ -384,12 +394,17 @@ def _slice_qa_batch(batch: QABatch, start: int, stop: int) -> QABatch:
         for f in batch])
 
 
-def _pad_qa_batch(batch: QABatch, batch_size: int) -> QABatch:
+def _pad_qa_batch(batch: QABatch, batch_size: int,
+                  zero_loss_mask: bool = False) -> QABatch:
     """Repeat the last row until the batch reaches ``batch_size``.
 
     Padded rows carry real uids, so the caller's per-uid bookkeeping scores
-    every example exactly once (duplicates overwrite with the same value)."""
-    pad = batch_size - len(batch.query_uid)
+    every example exactly once (duplicates overwrite with the same value).
+    With ``zero_loss_mask`` the padded rows' loss_mask is zeroed so they
+    contribute no tokens to the token-normalized eval losses
+    (``validation_loss`` tail handling)."""
+    real = len(batch.query_uid)
+    pad = batch_size - real
     assert pad > 0
 
     def rep(x):
@@ -397,7 +412,12 @@ def _pad_qa_batch(batch: QABatch, batch_size: int) -> QABatch:
             return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
         return list(x) + [x[-1]] * pad  # references list
 
-    return QABatch(*[rep(f) for f in batch])
+    out = QABatch(*[rep(f) for f in batch])
+    if zero_loss_mask:
+        lm = out.loss_mask.copy()
+        lm[real:] = 0.0
+        out = out._replace(loss_mask=lm)
+    return out
 
 
 _METRICS = ("loss", "lm_loss", "retriever_loss", "retriever_utility",

@@ -90,7 +90,8 @@ def run_retriever(args, cfg) -> int:
                 if it >= total:
                     break
             if valid_ds is not None:
-                batches = list(valid_ds.epoch_batches(B, seed=0, shuffle=False))
+                batches = list(valid_ds.epoch_batches(
+                    B, seed=0, shuffle=False, drop_last=False))
                 v = task.validate(batches,
                                   report_topk=args.report_topk_accuracies)
                 stats = " | ".join(f"{k} {val:.4f}" for k, val in v.items())

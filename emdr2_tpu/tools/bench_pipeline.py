@@ -157,9 +157,14 @@ def bench_embed(corpus, batch_size: int = 512):
     buf = builder.embed_corpus_device(params, out_rows)
     np.asarray(jax.device_get(buf[0, 0]))
     wall = time.time() - t0
-    pps = n / wall
+    # the builder dp-shards every batch over the whole mesh, so n/wall is
+    # AGGREGATE mesh throughput; per-chip is that divided by the device
+    # count (on the 1-chip bench host the two coincide)
+    pps = n / wall / dev
     return {
         "batch_size": builder.batch_size,
+        "n_docs": n,
+        "mesh_devices": dev,
         "passages_per_sec_per_chip": round(pps, 1),
         "ms_per_batch": round(wall / -(-n // builder.batch_size) * 1e3, 2),
         # per-chip share of the reference's 16-GPU layout (21M/16 rows)
@@ -426,6 +431,8 @@ def main(argv=None):
             # throughput number projects linearly to the 1.31M shard
             corpus = build_world(cache, min(args.n_docs, 65_536))
             result["embed"] = bench_embed(corpus, args.embed_batch)
+            # the top-level n_docs reflects what was actually embedded
+            result["n_docs"] = result["embed"]["n_docs"]
         print(json.dumps(result))
         return
 

@@ -35,11 +35,20 @@ class EMDR2LossAux(NamedTuple):
 
 
 def reader_cross_entropy(lm_logits: jnp.ndarray, labels: jnp.ndarray,
-                         loss_mask: jnp.ndarray) -> jnp.ndarray:
+                         loss_mask: jnp.ndarray, mesh=None) -> jnp.ndarray:
     """Token CE averaged over unmasked positions (train_e2eqa.py:154-160).
 
     lm_logits [B, L, V] fp32, labels [B, L], loss_mask [B, L] float.
+    With a ``mesh`` whose last (tp) axis is >1 and divides the shapes, the
+    CE routes through ``vocab_parallel_cross_entropy`` so each tp shard
+    softmaxes only its own vocab columns (no vocab-axis gather).
     """
+    if mesh is not None and mesh.shape[mesh.axis_names[-1]] > 1:
+        dp = mesh.shape[mesh.axis_names[0]]
+        tp = mesh.shape[mesh.axis_names[-1]]
+        if lm_logits.shape[-1] % tp == 0 and lm_logits.shape[0] % dp == 0:
+            nll = vocab_parallel_cross_entropy(lm_logits, labels, mesh)
+            return jnp.sum(nll * loss_mask) / jnp.sum(loss_mask)
     log_probs = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)
     gold = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
     return -jnp.sum(gold * loss_mask) / jnp.sum(loss_mask)
@@ -110,11 +119,13 @@ def kl_div_retriever_loss(gold_log_probs: jnp.ndarray,
 
 def emdr2_total_loss(lm_logits, topk_log_probs, gold_log_probs, labels,
                      loss_mask, eos_id: int, update_retriever: bool = True,
-                     use_kl_div: bool = False):
-    """net_loss = reader CE + retriever loss (train_e2eqa.py:163-181)."""
+                     use_kl_div: bool = False, mesh=None):
+    """net_loss = reader CE + retriever loss (train_e2eqa.py:163-181).
+    ``mesh`` routes the reader CE vocab-parallel under tp>1 (see
+    ``reader_cross_entropy``)."""
     # replace masked labels with 0 as the reference does (:86)
     safe_labels = jnp.where(loss_mask > 0, labels, 0)
-    lm_loss = reader_cross_entropy(lm_logits, safe_labels, loss_mask)
+    lm_loss = reader_cross_entropy(lm_logits, safe_labels, loss_mask, mesh)
     if not update_retriever:
         zero = jnp.zeros(())
         return lm_loss, EMDR2LossAux(lm_loss, zero, zero, zero)
@@ -189,9 +200,10 @@ def vocab_parallel_cross_entropy(logits, labels, mesh):
     Parity with ``mpu/cross_entropy.py:25-110`` (the reference's
     _VocabParallelCrossEntropy autograd fn): per-shard max -> global max,
     per-shard sum-exp -> psum, per-shard masked gold pick -> psum; each tp
-    shard touches only its own V/tp logit columns. At the flagship V=30.7k
-    the gathered-logits CE is immaterial (~15 MB) and the production losses
-    above use plain log_softmax; this is the pod-scale/V>=100k variant.
+    shard touches only its own V/tp logit columns. ``reader_cross_entropy``
+    routes here automatically whenever the bound mesh has tp>1 and the
+    shapes divide; the teacher head has the matching gather-free path in
+    ``models/t5.py:_vocab_parallel_gold_log_probs``.
 
     ``logits`` [B, L, V] with the last axis tp-sharded (the natural layout
     of the tied LM head under a tp-sharded "vocab" logical axis),
@@ -209,7 +221,11 @@ def vocab_parallel_cross_entropy(logits, labels, mesh):
         v_local = lg.shape[-1]
         start = r * v_local
         lg = lg.astype(jnp.float32)
-        m = jax.lax.pmax(jnp.max(lg, axis=-1), tp_ax)          # global max
+        # the max shift is a constant for autodiff (it cancels in the
+        # logsumexp derivative); pmax has no VJP rule, so it must only ever
+        # see the stop-gradient'd value
+        m = jax.lax.pmax(
+            jnp.max(jax.lax.stop_gradient(lg), axis=-1), tp_ax)  # global max
         se = jax.lax.psum(
             jnp.sum(jnp.exp(lg - m[..., None]), axis=-1), tp_ax)
         lse = m + jnp.log(se)

@@ -93,6 +93,7 @@ def make_train_step(model: EMDR2Model, tx: optax.GradientTransformation,
     The returned function is pure and jit-able; callers jit it with the
     desired shardings (see tasks/e2eqa.py).
     """
+    mesh = cfg.reader.transformer.mesh   # bound mesh -> vocab-parallel CE
 
     def step_fn(state: TrainState, batch: EMDR2Batch):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
@@ -105,7 +106,7 @@ def make_train_step(model: EMDR2Model, tx: optax.GradientTransformation,
                 out.lm_logits, out.topk_log_probs, out.gold_log_probs,
                 batch.labels, batch.loss_mask, eos_id=eos_id,
                 update_retriever=cfg.update_retriever,
-                use_kl_div=cfg.use_kl_div_loss)
+                use_kl_div=cfg.use_kl_div_loss, mesh=mesh)
             return total, aux
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -142,7 +143,8 @@ def make_eval_forward(model: EMDR2Model, cfg: EMDR2Config, eos_id: int):
             out.lm_logits, out.topk_log_probs, out.gold_log_probs,
             batch.labels, batch.loss_mask, eos_id=eos_id,
             update_retriever=cfg.update_retriever,
-            use_kl_div=cfg.use_kl_div_loss)
+            use_kl_div=cfg.use_kl_div_loss,
+            mesh=cfg.reader.transformer.mesh)
         return {"loss": total, "lm_loss": aux.lm_loss,
                 "retriever_loss": aux.retriever_loss}
 

@@ -250,3 +250,25 @@ class TestTimeoutAndValidation:
         m = task.validation_loss(ds, max_batches=1)
         assert set(m) >= {"loss", "lm_loss", "retriever_loss"}
         assert np.isfinite(m["loss"])
+
+    def test_validation_tail_examples_contribute(self, world):
+        """A non-batch-divisible dev set must score EVERY example
+        (VERDICT r3 weak #5): the padded tail batch contributes its real
+        rows, weighted, so the full-set result equals the example-weighted
+        average of the head batch and the tail examples evaluated alone."""
+        import copy
+        cfg, tok, corpus, ds, mesh, index, task, builder = make_task(world)
+
+        def subset(lo, hi):
+            d = copy.copy(ds)
+            d.examples = ds.examples[lo:hi]
+            return d
+
+        full = task.validation_loss(subset(0, 10))      # 8 + tail of 2
+        head = task.validation_loss(subset(0, 8))
+        tail = task.validation_loss(subset(8, 10))      # one padded batch
+        for k in ("loss", "lm_loss", "retriever_loss"):
+            expected = (8 * head[k] + 2 * tail[k]) / 10
+            np.testing.assert_allclose(full[k], expected, rtol=1e-5), k
+        # and the tail-only eval is a real number, not a dropped batch
+        assert np.isfinite(tail["loss"])

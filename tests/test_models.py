@@ -170,13 +170,38 @@ class TestT5:
             return model.apply(p, d, h, m, lab,
                                method=T5Model.decode_gold_log_probs)
 
-        txt = jax.jit(gold).lower(
-            params, dec, hidden, mask, labels).compile().as_text()
+        compiled = jax.jit(gold).lower(
+            params, dec, hidden, mask, labels).compile()
+        txt = compiled.as_text()
         B, L, V = dec.shape[0], dec.shape[1], tc.vocab_size
-        assert f"f32[{B},{L},{V}]" not in txt, (
-            "full-vocab fp32 logits materialized in the teacher gold head")
-        assert f"f32[{B},{L},{V // 4}]" in txt, (
+        # check both the [B,L,V] and flattened [B*L,V] spellings so a
+        # relayouted/reshaped full-logits tensor still trips the assert
+        for bad in (f"f32[{B},{L},{V}]", f"f32[{B * L},{V}]"):
+            assert bad not in txt, (
+                "full-vocab fp32 logits materialized in the teacher gold "
+                f"head ({bad})")
+        assert (f"f32[{B},{L},{V // 4}]" in txt
+                or f"f32[{B * L},{V // 4}]" in txt), (
             "expected the vocab-chunk logits block inside the scan")
+        # layout-agnostic backstop: the chunked head's compiled temp memory
+        # must stay below a dense-head compile of the same module (which by
+        # construction materializes the full [B,L,V] fp32 logits), whatever
+        # shape string XLA prints for the buffers
+        def dense(p, d, h, m, lab):
+            logits = model.apply(p, d, h, m, method=T5Model.decode)
+            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+            picked = jnp.take_along_axis(
+                logits, lab[..., None], axis=-1)[..., 0]
+            return picked - lse
+
+        mem = compiled.memory_analysis()
+        dense_mem = jax.jit(dense).lower(
+            params, dec, hidden, mask, labels).compile().memory_analysis()
+        if (mem is not None and dense_mem is not None
+                and getattr(mem, "temp_size_in_bytes", 0)):
+            assert mem.temp_size_in_bytes < dense_mem.temp_size_in_bytes, (
+                f"chunked-head temp {mem.temp_size_in_bytes} not below the "
+                f"dense head's {dense_mem.temp_size_in_bytes}")
 
     def test_causality(self, cfg):
         """Changing a future decoder token must not affect earlier logits."""

@@ -131,6 +131,105 @@ def _tiny_flash_cfg():
             transformer=dataclasses.replace(cfg.reader.transformer, **flash)))
 
 
+class TestVocabParallelHead:
+    """The tp-sharded LM-head paths (VERDICT r3 item 6): the teacher gold
+    head and the reader CE must route vocab-parallel under tp>1 — each shard
+    softmaxes only its own V/tp columns, numerics matching the dense path."""
+
+    def _t5_setup(self, mesh=None, rows=8, L=4):
+        import dataclasses
+        from emdr2_tpu.models.t5 import T5Model
+        cfg = _tiny_flash_cfg().reader.transformer
+        cfg = dataclasses.replace(cfg, fid_flash_attention=False, mesh=mesh)
+        model = T5Model(cfg)
+        rng = np.random.RandomState(7)
+        enc = jnp.asarray(rng.randint(2, 500, (rows, 6)), jnp.int32)
+        dec = jnp.asarray(rng.randint(1, 500, (rows, L)), jnp.int32)
+        labels = jnp.asarray(
+            rng.randint(0, cfg.vocab_size, (rows, L)), jnp.int32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            enc, dec)
+        return model, params, enc, dec, labels
+
+    def test_gold_head_tp_matches_dense(self, mesh):
+        from emdr2_tpu.data import masks
+        from emdr2_tpu.models.t5 import T5Model
+        model, params, enc, dec, labels = self._t5_setup(mesh)
+        hidden = model.apply(params, enc, method=T5Model.encode)
+        m = masks.attention_mask(dec, enc)
+        tp_out = jax.jit(lambda p, d, h, mm, lb: model.apply(
+            p, d, h, mm, lb, method=T5Model.decode_gold_log_probs))(
+            params, dec, hidden, m, labels)
+
+        # dense ground truth from the same hidden states
+        model0, params0, *_ = self._t5_setup(mesh=None)
+        logits = np.asarray(model0.apply(
+            params, dec, hidden, m, method=T5Model.decode)).astype(np.float64)
+        lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                            ).sum(-1)) + logits.max(-1)
+        dense = np.take_along_axis(
+            logits, np.asarray(labels)[..., None], axis=-1)[..., 0] - lse
+        np.testing.assert_allclose(np.asarray(tp_out), dense, atol=2e-5)
+
+    def test_gold_head_tp_no_full_vocab_tensor(self, mesh):
+        """Compiled teacher head at dp=4 x tp=2 must contain no full-vocab
+        fp32 logits tensor — only per-shard [*, L, V/tp] chunks."""
+        from emdr2_tpu.data import masks
+        from emdr2_tpu.models.t5 import T5Model
+        model, params, enc, dec, labels = self._t5_setup(mesh)
+        hidden = model.apply(params, enc, method=T5Model.encode)
+        m = masks.attention_mask(dec, enc)
+        txt = jax.jit(lambda p, d, h, mm, lb: model.apply(
+            p, d, h, mm, lb, method=T5Model.decode_gold_log_probs)).lower(
+            params, dec, hidden, m, labels).compile().as_text()
+        rows, L = dec.shape
+        V = model.config.vocab_size
+        for bad in (f"f32[{rows},{L},{V}]", f"f32[{rows * L},{V}]"):
+            assert bad not in txt, f"full-vocab logits in tp head: {bad}"
+
+    def test_reader_ce_tp_matches_dense(self, mesh):
+        from emdr2_tpu.training.losses import reader_cross_entropy
+        rng = np.random.RandomState(11)
+        B, L, V = 8, 4, 640
+        logits = jnp.asarray(rng.randn(B, L, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
+        mask = jnp.asarray((rng.rand(B, L) > 0.3), jnp.float32)
+        dense = reader_cross_entropy(logits, labels, mask)
+        tp = jax.jit(lambda lg, lb, mk: reader_cross_entropy(
+            lg, lb, mk, mesh))(logits, labels, mask)
+        np.testing.assert_allclose(float(tp), float(dense), atol=1e-5)
+
+    def test_reader_ce_tp_gradient_matches_dense(self, mesh):
+        """The train step differentiates through the vocab-parallel CE: its
+        logits gradient must equal the dense path's (the max shift is an
+        autodiff constant, so stop-gradient'ing it changes nothing)."""
+        from emdr2_tpu.training.losses import reader_cross_entropy
+        rng = np.random.RandomState(13)
+        B, L, V = 8, 4, 640
+        logits = jnp.asarray(rng.randn(B, L, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
+        mask = jnp.asarray((rng.rand(B, L) > 0.3), jnp.float32)
+        g_dense = jax.jit(jax.grad(
+            lambda lg: reader_cross_entropy(lg, labels, mask)))(logits)
+        g_tp = jax.jit(jax.grad(
+            lambda lg: reader_cross_entropy(lg, labels, mask, mesh)))(logits)
+        np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_dense),
+                                   atol=1e-6)
+
+    def test_reader_ce_indivisible_falls_back(self, mesh):
+        """Shapes that don't divide the mesh use the dense path unchanged."""
+        from emdr2_tpu.training.losses import reader_cross_entropy
+        rng = np.random.RandomState(12)
+        B, L, V = 3, 4, 7    # B % dp != 0, V % tp != 0
+        logits = jnp.asarray(rng.randn(B, L, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, V, (B, L)), jnp.int32)
+        mask = jnp.ones((B, L), jnp.float32)
+        dense = reader_cross_entropy(logits, labels, mask)
+        fb = reader_cross_entropy(logits, labels, mask, mesh)
+        np.testing.assert_allclose(float(fb), float(dense), atol=1e-6)
+
+
 class TestBoundModelCompilation:
     def test_no_slab_allgather_when_bound(self, mesh):
         """Compile ONE FiD reader forward at dp=4 x tp=2: with the mesh
