@@ -75,7 +75,25 @@ def bench_mips(on_cpu: bool):
         out = f(q, e)
     np.asarray(out[0])  # drain the queue
     dt = (time.time() - t0) / iters
-    return nq / dt
+
+    # int8 index variant (--index-quantize int8): HALF the index HBM at
+    # recall 1.000000 vs exact fp32 over the stored index — the default
+    # exact re-rank (ops/mips.py `rescore`) scores the approximate winners
+    # against the full-precision queries (BENCH notes r4)
+    from emdr2_tpu.ops.mips import quantize_int8
+    q8, scales = jax.jit(
+        lambda x: quantize_int8(x.astype(jnp.float32), cfg.group_size))(e)
+    f8 = jax.jit(functools.partial(
+        mips_topk, k=k, chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
+        query_tile=cfg.query_tile, cands_per_group=cfg.cands_per_group,
+        interpret=on_cpu))
+    np.asarray(f8(q, q8, shard_scales=scales)[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = f8(q, q8, shard_scales=scales)
+    np.asarray(out[0])
+    int8_qps = nq / ((time.time() - t0) / iters)
+    return nq / dt, int8_qps
 
 
 def flagship_step_config(B: int = 4, K: int = 50,
@@ -236,7 +254,7 @@ def bench_train_step(B: int = 4, K: int = 50):
 
 def main():
     on_cpu = jax.default_backend() == "cpu"
-    qps = bench_mips(on_cpu)
+    qps, int8_qps = bench_mips(on_cpu)
 
     train = {"skipped": "cpu backend"}
     decode = {"skipped": "cpu backend"}
@@ -258,6 +276,9 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        # int8 index: half the HBM, exact re-ranked (recall 1.000000 vs
+        # exact fp32 over the stored index, measured BENCH r4)
+        "mips_int8_queries_per_sec_per_chip": round(int8_qps, 1),
         "train_step": train,
         "decode": decode,
     }))

@@ -305,6 +305,7 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
               cands_per_group: int = 2,
               n_valid=None,
               shard_scales: Optional[jnp.ndarray] = None,
+              rescore: Optional[int] = None,
               interpret: Optional[bool] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner-product search of ``queries`` [nq, d] against a local
@@ -331,9 +332,20 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
     a [nq, cands*N/G] elementwise multiply, ~0.1% of the scan FLOPs.
     Measured on v5e at the 1.31M-row shard scale: throughput ~ties the
     bf16 kernel (the VPU reduction, not the MXU scan, is the bottleneck,
-    so the int8 MXU rate doesn't show end-to-end) at HALF the index HBM;
-    ~0.1% relative score error, top-20 recall 0.975 on worst-case
-    tightly-packed random scores (1.000 for bf16).
+    so the int8 MXU rate doesn't show end-to-end) at HALF the index HBM.
+
+    ``rescore`` (int8 shards only; default 48 for k<=20 else >=128, pass 0
+    to disable): re-score the top-``rescore`` approximate winners exactly —
+    gather their rows, dequantize, one small [nq, M, d] einsum against the
+    FULL-PRECISION queries — before the final top-k. This removes the
+    query-quantization error entirely, so the result is EXACT w.r.t. the
+    stored (dequantized) index whenever the true top-k survives the
+    candidate scan, and the returned scores are the true inner products of
+    the returned rows (not int8 approximations). Cost is ~nq*M*d*2 FLOPs +
+    an nq*M-row gather, <1% of the scan. Without it, top-20 recall on
+    worst-case tightly-packed scores was 0.975; with it the search is no
+    longer the error source at all (quantization remains a property of
+    what the index STORES, reported separately).
 
     Designed to be called inside jit/shard_map. Pads nq, N and d as needed;
     padding never changes results (zero-padded d contributes 0 to dots,
@@ -410,6 +422,39 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
         gscale = jnp.tile(shard_scales, cands_per_group)
         cand_vals = cand_vals * gscale[None, :] * q_scale[:, None]
 
+        # default window, measured on v5e at the 1.31M shard (BENCH r4):
+        # k=20/M=48 -> recall 1.000000 vs exact-fp32-over-stored at 45.8k
+        # q/s; k=51 needs M=128 for 1.000000 (a true winner can sit ~rank
+        # 100 of the approx order when runner-ups cluster); larger M only
+        # costs top_k time (8.8 ms at M=128 vs 3.3 ms at M=48)
+        rescore_m = ((48 if k <= 20 else max(128, 2 * k))
+                     if rescore is None else rescore)
+        if rescore_m:
+            # exact re-rank of the approximate winners: gather the top-M
+            # candidate rows, dequantize, and score them against the
+            # FULL-PRECISION queries — the int8 path's only remaining error
+            # source (query quantization) disappears, and the returned
+            # scores are the true inner products of the returned rows
+            m_sel = min(max(rescore_m, k), cand_vals.shape[1])
+            _, cpos = jax.lax.top_k(cand_vals, m_sel)
+            cidx = jnp.take_along_axis(cand_idx, cpos, axis=1)[:nq]
+            rows = jnp.take(shard, cidx, axis=0)        # [nq, M, d_pad] i8
+            gsc = jnp.take(shard_scales, cidx // group_size, axis=0)
+            rows_f = rows.astype(jnp.float32) * gsc[..., None]
+            # HIGHEST: TPU fp32 matmuls default to bf16-pass precision whose
+            # ~0.1-magnitude noise rivals the top-k boundary spacing at the
+            # 1.31M shard; true-fp32 passes make the re-rank order match an
+            # exact fp32 scorer (measured: recall 0.9963 -> 1.0). The einsum
+            # is [nq, M, d] — the extra passes cost nothing measurable.
+            scores = jnp.einsum("qd,qmd->qm", qf, rows_f[..., :d],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            # candidates pointing at padded/invalid rows (zero vectors,
+            # score 0.0) must never displace real negatives
+            scores = jnp.where(cidx < nv, scores, NEG_INF)
+            vals, pos2 = jax.lax.top_k(scores, k)
+            return vals, jnp.take_along_axis(cidx, pos2, axis=1)
+
     vals, pos = jax.lax.top_k(cand_vals, k)          # [nq_pad, k]
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     return vals[:nq], idx[:nq]
@@ -421,6 +466,7 @@ def sharded_mips_topk(local_queries: jnp.ndarray, local_shard: jnp.ndarray,
                       group_size: int = 128, query_tile: int = 128,
                       cands_per_group: int = 2,
                       local_scales: Optional[jnp.ndarray] = None,
+                      rescore: Optional[int] = None,
                       interpret: Optional[bool] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed MIPS inside ``shard_map`` over ``axis_name``.
@@ -445,7 +491,7 @@ def sharded_mips_topk(local_queries: jnp.ndarray, local_shard: jnp.ndarray,
                           chunk_rows=chunk_rows, group_size=group_size,
                           query_tile=query_tile,
                           cands_per_group=cands_per_group,
-                          shard_scales=local_scales,
+                          shard_scales=local_scales, rescore=rescore,
                           interpret=interpret)
     # local row ids -> global ids (shards laid out contiguously)
     idx = idx + rank * shard_rows

@@ -74,12 +74,19 @@ class EvidenceIndexBuilder:
         this is the weight-transport channel that replaces the reference's
         checkpoint-through-disk hand-off (async_indexer.py:100-108).
         Params already resolved against this mesh pass through untouched
-        (keeps tp-sharded params sharded on the same-mesh path)."""
+        (keeps tp-sharded params sharded on the same-mesh path). Device
+        arrays living on a DIFFERENT mesh bounce through host first:
+        multi-controller JAX cannot reshard across disjoint device sets
+        directly (the async refresher's weight snapshots are host arrays
+        anyway — this covers direct callers)."""
         leaves = jax.tree_util.tree_leaves(params)
         if leaves and all(
                 isinstance(getattr(leaf, "sharding", None), NamedSharding)
                 and leaf.sharding.mesh == self.mesh for leaf in leaves):
             return params
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            params)
         return jax.device_put(params, NamedSharding(self.mesh, P()))
 
     def _embed(self, params, ids, types):
@@ -173,11 +180,18 @@ class EvidenceIndexBuilder:
         ``out_rows``: the index's padded row count (``index.n_padded``).
         Rows in [len(corpus), out_rows) may hold duplicate embeddings of the
         last document — the index masks them in-kernel via n_valid.
-        Single-process only (multi-host uses per-host block assembly)."""
-        assert jax.process_count() == 1, (
-            "zero-copy refresh is single-process; multi-host refresh uses "
-            "embed_corpus(row_partition=...) + update_from_process_local")
+
+        Multi-host: every process runs the same globally-jitted loop in
+        lockstep over the GLOBAL embed mesh, each feeding its dp slice of
+        every batch; the returned global array's per-process row blocks are
+        process-contiguous, so the index's local-repartition swap
+        (``ShardedEvidenceIndex.swap_device_array``) moves them to the train
+        mesh with intra-host d2d copies only — the pod-scale zero-copy
+        refresh (VERDICT r3 item 4)."""
         import jax.numpy as jnp
+        from emdr2_tpu.parallel.distributed import make_global_array
+        procs = jax.process_count()
+        rank = jax.process_index()
         n = len(self.corpus)
         assert out_rows >= n, (out_rows, n)
         d = self.cfg.index.embed_dim
@@ -188,6 +202,7 @@ class EvidenceIndexBuilder:
         if not hasattr(self, "_place_fns"):
             self._place_fns = {}
         bs = self.batch_size
+        per = bs // procs                # this process's rows per batch
         params = self.place_params(params)
         for start in range(0, n, bs):
             stop = min(start + bs, n)
@@ -195,8 +210,11 @@ class EvidenceIndexBuilder:
             if stop - start < bs:  # pad tail batch to keep shapes static
                 doc_ids = np.concatenate(
                     [doc_ids, np.full(bs - (stop - start), stop, np.int64)])
-            ids, types = self._format_rows(doc_ids)
-            emb = self._embed(params, jnp.asarray(ids), jnp.asarray(types))
+            local_ids = doc_ids[rank * per: (rank + 1) * per]
+            ids, types = self._format_rows(local_ids)
+            ids_g = make_global_array(self.mesh, ids, P("dp"))
+            types_g = make_global_array(self.mesh, types, P("dp"))
+            emb = self._embed(params, ids_g, types_g)
             # update size shrinks only when the buffer tail is closer than
             # one batch (dynamic_update_slice clamps starts — never let the
             # write window slide backwards over real rows)

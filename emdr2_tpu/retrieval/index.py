@@ -250,13 +250,59 @@ class ShardedEvidenceIndex:
         self._data = (jax.make_array_from_callback(
             (self.n_padded, d), self._sharding, shard_cb), new_scales)
 
+    def _reshard_local(self, arr: jax.Array) -> jax.Array:
+        """Move an embed-mesh-sharded slab onto this index's mesh with
+        PER-PROCESS-LOCAL device-to-device copies only — the multi-host
+        zero-copy swap. Works because both shardings are row-wise,
+        equal-per-device, and device order is process-contiguous, so each
+        process's row block is identical under both meshes: every target
+        shard's rows already live on this host's source devices. Each copy
+        is a single-device slice + device_put (no collectives — safe to run
+        from any thread, no cross-controller enqueue-order hazard)."""
+        shape = (self.n_padded, self.cfg.embed_dim)
+        src = sorted(arr.addressable_shards,
+                     key=lambda s: s.index[0].start or 0)
+        tgt_map = self._sharding.addressable_devices_indices_map(shape)
+        pieces = []
+        devs = []
+        for dev, idx in tgt_map.items():
+            rows = idx[0]
+            ts = rows.start or 0
+            te = rows.stop if rows.stop is not None else self.n_padded
+            parts = []
+            for sh in src:
+                ss = sh.index[0].start or 0
+                se = sh.index[0].stop if sh.index[0].stop is not None \
+                    else self.n_padded
+                lo, hi = max(ts, ss), min(te, se)
+                if lo < hi:
+                    parts.append(jax.device_put(
+                        sh.data[lo - ss: hi - ss], dev))
+            got = sum(p.shape[0] for p in parts)
+            assert got == te - ts, (
+                f"target rows [{ts},{te}) only {got} rows on local embed "
+                "devices — embed/train meshes are not process-aligned")
+            pieces.append(parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=0))
+            devs.append(dev)
+        return jax.make_array_from_single_device_arrays(
+            shape, self._sharding, pieces)
+
     def swap_device_array(self, new_embeddings: jax.Array) -> None:
         """Swap in an already-on-device (correctly sharded) matrix — the
         zero-copy path used by the async embedder sub-mesh. With an int8
         index the float slab is quantized in one jitted device pass
         (reads bf16, writes int8 + per-group scales; still no host bounce).
+
+        Multi-host: the slab arrives sharded over the (disjoint, process-
+        aligned) embed mesh; ``_reshard_local`` moves it with intra-host
+        d2d copies — no host bounce, no cross-host traffic.
         """
         assert new_embeddings.shape == (self.n_padded, self.cfg.embed_dim)
+        if jax.process_count() > 1 and not (
+                isinstance(new_embeddings.sharding, NamedSharding)
+                and new_embeddings.sharding.mesh == self.mesh):
+            new_embeddings = self._reshard_local(new_embeddings)
         if self.quantized:
             if self._quantize_jit is None:
                 g = self.cfg.group_size

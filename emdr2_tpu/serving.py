@@ -47,7 +47,12 @@ class QAPipeline:
         self.beam_size = beam_size
         self.max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         self.model = EMDR2Model(cfg)
-        self.session = DecoderSession(self.model, params, self.max_decode_len)
+        # serving shards like eval does: the mesh bound into the config (by
+        # ``load``/``bind_mesh``) makes the session's encode + token loops
+        # mesh-sharded — batch rows over dp, flash kernels shard_mapped
+        self.mesh = cfg.reader.transformer.mesh
+        self.session = DecoderSession(self.model, params, self.max_decode_len,
+                                      mesh=self.mesh)
         self._embed_query = jax.jit(
             lambda p, ids: self.model.apply({"params": p}, ids,
                                             method=EMDR2Model.embed_query))

@@ -157,6 +157,33 @@ class E2EQATask:
                 out_shardings=dp)
         return self._jitted["embed_query_snap"]
 
+    def dispatch_retrieve(self, query_bert_ids: np.ndarray) -> Tuple:
+        """Enqueue stage A (query embed + sharded MIPS search) and return the
+        un-synced device handles. The calling thread performs ALL jitted
+        dispatch — the multi-controller-safe prefetch pipeline
+        (``training/prefetch.MainDispatchPrefetcher``) calls this from the
+        MAIN thread so every controller enqueues collectives in the same
+        order, then hands the handles to a host-only worker."""
+        from emdr2_tpu.parallel.distributed import make_global_array
+        cfg = self.cfg
+        k = cfg.index.topk + (0 if cfg.index.allow_trivial_doc else 1)
+        ids_dev = make_global_array(self.mesh, np.asarray(query_bert_ids))
+        snap = self._retrieval_snapshot
+        if snap is not None:  # prefetch: donation-safe tower copy
+            q = self._embed_query_snapshot_fn()(snap, ids_dev)
+        else:
+            q = self._embed_query_fn()(self.state.params, ids_dev)
+        return self.index.search(q, k=k, queries_sharded=True)
+
+    def finalize_retrieve(self, handles: Tuple
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on stage-A device handles, map rows -> passage ids on host.
+        Pure host work — safe on any thread."""
+        from emdr2_tpu.parallel.distributed import host_local_rows
+        scores, rows = handles
+        rows_h = host_local_rows(rows)
+        return self.index.lookup_passage_ids(rows_h), host_local_rows(scores)
+
     def retrieve(self, query_bert_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Fresh query embeddings -> sharded MIPS top-k -> host passage ids.
 
@@ -166,25 +193,20 @@ class E2EQATask:
         emdr2_model.py:454-455). Fetches K+1 when trivial docs must be
         dropped (emdr2_model.py:389-391).
         """
-        from emdr2_tpu.parallel.distributed import (host_local_rows,
-                                                    make_global_array)
-        cfg = self.cfg
-        k = cfg.index.topk + (0 if cfg.index.allow_trivial_doc else 1)
-        ids_dev = make_global_array(self.mesh, np.asarray(query_bert_ids))
-        snap = self._retrieval_snapshot
-        if snap is not None:  # prefetch worker: donation-safe tower copy
-            q = self._embed_query_snapshot_fn()(snap, ids_dev)
-        else:
-            q = self._embed_query_fn()(self.state.params, ids_dev)
-        scores, rows = self.index.search(q, k=k, queries_sharded=True)
-        rows_h = host_local_rows(rows)
-        return self.index.lookup_passage_ids(rows_h), host_local_rows(scores)
+        return self.finalize_retrieve(
+            self.dispatch_retrieve(query_bert_ids))
 
     # --------------------------------------------------------------- stage B
 
-    def build_device_batch(self, batch: QABatch) -> EMDR2Batch:
+    def build_device_batch(self, batch: QABatch,
+                           retrieved: Optional[Tuple] = None) -> EMDR2Batch:
+        """``retrieved``: optional pre-dispatched stage-A handles (from
+        ``dispatch_retrieve``) — the pipelined feeder's host-only worker
+        passes them so this call never enqueues device programs itself."""
         cfg = self.cfg
-        passage_ids, _ = self.retrieve(batch.query_bert_ids)
+        passage_ids, _ = (self.finalize_retrieve(retrieved)
+                          if retrieved is not None
+                          else self.retrieve(batch.query_bert_ids))
         post = postprocess_retrieved(
             query_uids=batch.query_uid,
             query_t5_ids=batch.query_t5_ids,
@@ -305,12 +327,18 @@ class E2EQATask:
 
     def evaluate_em(self, dataset, batch_size: Optional[int] = None,
                     beam_size: int = 1, max_decode_len: Optional[int] = None,
-                    max_batches: Optional[int] = None) -> Tuple[float, int]:
+                    max_batches: Optional[int] = None,
+                    sample: bool = False,
+                    sample_seed: int = 1234) -> Tuple[float, int]:
         """Generate answers and score exact match vs ground truths.
 
         Parity with ``reader_em_score`` (train_e2eqa.py:217-292): greedy when
-        beam_size==1, else length-normalized beam search; per-uid dedupe of
-        padding duplicates; returns (EM percentage, n examples).
+        beam_size==1 (or multinomial sampling with ``sample=True`` — the
+        reference's SampleOrGreedySearch sampling mode,
+        search_strategy.py:213-217; per-batch keys fold ``sample_seed`` with
+        the batch index, so runs reproduce), else length-normalized beam
+        search; per-uid dedupe of padding duplicates; returns
+        (EM percentage, n examples).
 
         Multi-host (the reference evaluates across all trainer ranks and
         merges with an all_gather + per-uid dedupe, train_e2eqa.py:271-292):
@@ -359,8 +387,11 @@ class E2EQATask:
                      if procs > 1 else batch)
             device_batch = self.build_device_batch(local)
             if beam_size == 1:
+                rng = (jax.random.fold_in(jax.random.PRNGKey(sample_seed), bi)
+                       if sample else None)
                 hyps = greedy_decode(session, device_batch,
-                                     self.tok.bos_id, self.tok.eos_id)
+                                     self.tok.bos_id, self.tok.eos_id,
+                                     rng=rng, sample=sample)
             else:
                 hyps = beam_search_decode(session, device_batch,
                                           self.tok.bos_id, self.tok.eos_id,

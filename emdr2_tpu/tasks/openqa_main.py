@@ -104,7 +104,8 @@ def run_openqa(args, cfg) -> int:
     if getattr(args, "eval_only", False):
         assert valid_ds is not None, "--eval-only needs --valid-data"
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
-                                 max_decode_len=args.max_decode_len)
+                                 max_decode_len=args.max_decode_len,
+                                 sample=getattr(args, "sampling", False))
         if is_coordinator():
             print(f" eval-only | EM {em:.2f} over {n}")
         return 0
@@ -132,14 +133,16 @@ def run_openqa(args, cfg) -> int:
         # path (accumulate in host RAM, one upload at swap) is used instead.
         refresher = AsyncIndexRefresher(
             builder, index, reload_interval=cfg.train.index_reload_interval,
-            zero_copy=embed_mesh is not None)  # auto-off on multi-host too
+            zero_copy=embed_mesh is not None)  # multi-host: per-host blocks
+        # stay on the embedder devices; the swap is intra-host d2d only
 
     def eval_cb(iteration):
         # collective: every process participates in the mesh-sharded decode
         # (engine.train invokes the callback on all processes in lockstep)
         if valid_ds is not None:
             em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
-                                     max_decode_len=args.max_decode_len)
+                                     max_decode_len=args.max_decode_len,
+                                     sample=getattr(args, "sampling", False))
             if is_coordinator():
                 print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
 
@@ -149,7 +152,8 @@ def run_openqa(args, cfg) -> int:
                          timeout_minutes=getattr(args, "timeout_minutes", None))
     if valid_ds is not None:
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
-                                 max_decode_len=args.max_decode_len)
+                                 max_decode_len=args.max_decode_len,
+                                 sample=getattr(args, "sampling", False))
         if is_coordinator():
             print(f" final ({final} iters) | valid EM {em:.2f} over {n}")
     return 0

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--prefetch-depth", type=int, default=0,
                    help="host-side input prefetch depth (0 = off)")
     g.add_argument("--beam-size", type=int, default=1)
+    g.add_argument("--sampling", action="store_true",
+                   help="multinomial-sampling decode for EM eval instead of "
+                        "greedy (SampleOrGreedySearch sampling mode, "
+                        "search_strategy.py:213-217); only with beam-size 1")
     g.add_argument("--max-decode-len", type=int, default=32)
     g.add_argument("--train-hard-neg", type=int, default=1)
     g.add_argument("--val-av-rank-hard-neg", type=int, default=30,

@@ -56,16 +56,18 @@ class AsyncIndexRefresher:
         wraps the full EMDR2 model).
 
         ``zero_copy``: keep the freshly-embedded matrix on the builder's
-        devices and swap it into the index with a device-to-device transfer
+        devices and swap it into the index with device-to-device transfers
         (``swap_device_array``) instead of bouncing ~2 GB/chip through the
-        host. Single-process only (forced off under multi-host, where the
-        per-host block path is already gather-free)."""
+        host. Multi-host capable (VERDICT r3 item 4): each host's embedder
+        devices accumulate their process-contiguous block of the global
+        slab, and the swap repartitions onto the train mesh with intra-host
+        d2d copies only (``ShardedEvidenceIndex._reshard_local``)."""
         self.builder = builder
         self.index = index
         self.reload_interval = reload_interval
         self.extract = extract_retriever
         self.on_refresh = on_refresh
-        self.zero_copy = zero_copy and jax.process_count() == 1
+        self.zero_copy = zero_copy
         if jax.process_count() > 1:
             # Multi-controller hazard: the worker thread issues globally-
             # jitted collectives. If those run on devices the trainer also
@@ -212,19 +214,23 @@ class AsyncIndexRefresher:
                     return
                 self._weights_ready.clear()
                 params = self._weights
-                # multi-host: each process embeds only its own index-shard
-                # row range (lockstep globally-jitted steps). The embed
-                # mesh is guaranteed device-disjoint from the train mesh
-                # (enforced in __init__), so these collectives can never
+                # multi-host: the embed mesh is guaranteed device-disjoint
+                # from the train mesh (enforced in __init__), so the
+                # worker's lockstep globally-jitted collectives can never
                 # interleave with the trainer's across controllers.
-                if jax.process_count() > 1:
-                    emb = self.builder.embed_corpus(
-                        params,
-                        row_partition=self.index.process_row_range())
-                elif self.zero_copy:
+                if self.zero_copy:
+                    # device-resident global slab (multi-host: every process
+                    # drives the same SPMD loop; its block stays on its own
+                    # embedder devices until the local-repartition swap)
                     emb = self.builder.embed_corpus_device(
                         params, out_rows=self.index.n_padded)
                     jax.block_until_ready(emb)
+                elif jax.process_count() > 1:
+                    # host path: each process embeds only its own
+                    # index-shard row range into host RAM
+                    emb = self.builder.embed_corpus(
+                        params,
+                        row_partition=self.index.process_row_range())
                 else:
                     emb = self.builder.embed_corpus(params)
                 with self._result_lock:

@@ -79,6 +79,10 @@ def train(task, dataset, cfg: EMDR2Config,
     timers = Timers()
     from emdr2_tpu.utils.monitoring import MetricsWriter, report_memory
     writer = MetricsWriter(tensorboard_dir)
+    # full config dump as TB text, the reference's args-to-tensorboard
+    # (initialize.py:154-160); fenced so TB renders it verbatim
+    import pprint
+    writer.text("config", "```\n" + pprint.pformat(cfg) + "\n```")
     reported_memory = False
     # wall-clock budget: checkpoint and exit cleanly before a scheduler kills
     # the job — the generic equivalent of the reference's cluster-specific
@@ -97,27 +101,13 @@ def train(task, dataset, cfg: EMDR2Config,
                 "world_size": _jax.process_count()}
                if _jax.process_count() > 1 else {})
 
-    if prefetch_depth > 0 and _jax.process_count() > 1:
-        # Same multi-controller hazard AsyncIndexRefresher rejects for
-        # shared-mesh embedders: the prefetch worker dispatches globally-
-        # jitted collectives (query embed + index search) on the train mesh
-        # concurrently with the main thread's step, and two controllers can
-        # enqueue the two programs in opposite orders -> cross-host
-        # collective deadlock. Fall back to the synchronous stage A+B
-        # (~3% of the step) so the flagship scripts stay launchable on
-        # multi-host pods.
-        if _jax.process_index() == 0:
-            printer("prefetch-depth > 0 is single-host only (concurrent "
-                    "global collectives can deadlock across controllers); "
-                    "falling back to synchronous input prep")
-        prefetch_depth = 0
-
     epoch = start_epoch
     while iteration < total_iters and batches_per_epoch > 0:
         epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch,
                                               **dist_kw)
         if prefetch_depth > 0:
-            from emdr2_tpu.training.prefetch import BatchPrefetcher
+            from emdr2_tpu.training.prefetch import (BatchPrefetcher,
+                                                     MainDispatchPrefetcher)
             # the worker embeds stage-A queries from a donation-safe
             # query-tower snapshot (refreshed after every step), so the
             # jitted step keeps donating the 5.3 GB state buffers — turning
@@ -129,8 +119,17 @@ def train(task, dataset, cfg: EMDR2Config,
                 assert not task._jitted.get("train_step"), (
                     "enable prefetch before the first train step is compiled")
                 task.donate_state = False
-            epoch_batches = BatchPrefetcher(task, epoch_batches,
-                                            depth=prefetch_depth)
+            if _jax.process_count() > 1:
+                # multi-controller-safe variant: ALL jitted dispatch (stage A
+                # + steps) stays on this main thread in one deterministic
+                # order per controller; the worker only blocks on device
+                # results and runs the host postprocess — no concurrent
+                # collective enqueues, no cross-host deadlock
+                epoch_batches = MainDispatchPrefetcher(
+                    task, epoch_batches, depth=prefetch_depth)
+            else:
+                epoch_batches = BatchPrefetcher(task, epoch_batches,
+                                                depth=prefetch_depth)
         for bi, batch in enumerate(epoch_batches):
             if epoch == start_epoch and bi < start_offset:
                 continue  # resume skip (train_e2eqa.py:461-468)

@@ -54,6 +54,10 @@ python -m emdr2_tpu.tasks.run \
     --fid-flash-attention \
     --remat \
     --index-reload-interval 500 \
+    --index-quantize int8 \
+    `# halves the index HBM (2 GB -> 1 GB/chip at 21M/16) with recall` \
+    `# 1.000000 vs exact search over the stored rows: the default exact` \
+    `# re-rank (ops/mips.py rescore) removes the query-quantization error` \
     --prefetch-depth 1 \
     `# overlap stage A+B (retrieval + host postprocess) with the jitted` \
     `# step: ms/iter ~= ms/step instead of serializing ~42 ms of input prep` \

@@ -51,6 +51,80 @@ def main() -> None:
     task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
     task.init_state(jax.random.PRNGKey(0), total)
 
+    if mode == "prefetch":
+        # multi-controller-safe prefetch (VERDICT r3 item 3): stage A is
+        # dispatched from the MAIN thread in deterministic order against the
+        # step dispatches; the worker thread only blocks on device results +
+        # runs host postprocess. Losses must match a single-process run of
+        # the same pipeline.
+        from emdr2_tpu.training.prefetch import MainDispatchPrefetcher
+        task.enable_prefetch_snapshots()
+        losses = []
+        for epoch in range(2):
+            feed = MainDispatchPrefetcher(
+                task, ds.epoch_batches(total, seed=epoch, rank=pid,
+                                       world_size=nproc), depth=1)
+            for db in feed:
+                losses.append(float(task.train_step_prebuilt(db)["loss"]))
+        print("PLOSSES " + " ".join(f"{v:.8f}" for v in losses), flush=True)
+        return
+
+    if mode == "zerocopy":
+        # multi-host zero-copy refresh (VERDICT r3 item 4): the global slab
+        # is embedded device-resident over a DISJOINT process-spanning embed
+        # mesh; the swap repartitions onto the train mesh with intra-host
+        # d2d copies. Must equal the host-RAM block path exactly.
+        from jax.sharding import Mesh
+        from emdr2_tpu.retrieval.builder import EvidenceIndexBuilder
+        devs = jax.devices()
+        mine = lambda p: [d for d in devs if d.process_index == p]
+        train_devs = mine(0)[:2] + mine(1)[:2]
+        embed_devs = mine(0)[2:] + mine(1)[2:]
+        train_mesh = Mesh(np.array(train_devs).reshape(4, 1), ("dp", "tp"))
+        embed_mesh = Mesh(np.array(embed_devs).reshape(4, 1), ("dp", "tp"))
+        emb0 = np.random.RandomState(0).randn(
+            len(corpus), cfg.index.embed_dim).astype(np.float32)
+        idx_zc = ShardedEvidenceIndex(train_mesh, cfg.index, emb0)
+        idx_host = ShardedEvidenceIndex(train_mesh, cfg.index, emb0)
+        task2 = E2EQATask(cfg, train_mesh, tok, corpus, idx_zc,
+                          total_train_iters=10)
+        task2.init_state(jax.random.PRNGKey(0), 4)
+        builder = EvidenceIndexBuilder(
+            cfg, embed_mesh, task2.model, corpus, tok.cls_id, tok.sep_id,
+            tok.pad_id, batch_size=16)
+        params = task2.state.params
+        # zero-copy: device-resident global slab -> local-repartition swap
+        slab = builder.embed_corpus_device(params,
+                                           out_rows=idx_zc.n_padded)
+        idx_zc.swap_device_array(slab)
+        # host path on the same weights
+        blk = builder.embed_corpus(params,
+                                   row_partition=idx_host.process_row_range())
+        idx_host.update_from_process_local(blk)
+        # the contract: this process's post-swap index rows == the host-path
+        # block (up to bf16-vs-fp16 storage rounding of identical values)
+        start, stop = idx_zc.process_row_range()
+        mine_rows = np.concatenate([
+            np.asarray(sh.data, np.float32)
+            for sh in sorted(idx_zc.embeddings.addressable_shards,
+                             key=lambda s: s.index[0].start or 0)])
+        n_blk = blk.shape[0]
+        eq = np.allclose(mine_rows[:n_blk], blk.astype(np.float32),
+                         atol=2e-2)
+        # padded tail rows past the corpus must still be masked (zeros in
+        # the host path; duplicate embeddings in the device path — both are
+        # hidden by n_valid masking, so no contract on them)
+        print(f"ZEQ {int(eq)}", flush=True)
+        q = np.random.RandomState(7).randn(
+            8, cfg.index.embed_dim).astype(np.float32)
+        for tag, idx in (("ZROWS", idx_zc), ("HROWS", idx_host)):
+            vals, rows = idx.search(q, k=5)
+            print(f"{tag} " + " ".join(
+                map(str, np.asarray(rows).reshape(-1).tolist())), flush=True)
+            print(f"{tag[0]}VALS " + " ".join(
+                f"{v:.5f}" for v in np.asarray(vals).reshape(-1)), flush=True)
+        return
+
     if mode == "refresh":
         # multi-host index refresh: each process embeds + swaps ONLY its own
         # index-shard row range; verified by searching the post-swap index

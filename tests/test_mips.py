@@ -231,6 +231,65 @@ class TestInt8:
         assert scales[0] == 1.0 and scales[1] > 0
         assert (q8[:64] == 0).all()
 
+    def test_rescore_exact_vs_stored_index(self):
+        """With the default rescore pass, the int8 search must EXACTLY
+        equal exact fp32 top-k over the dequantized (stored) index: the
+        query-quantization error is removed entirely, and the returned
+        scores are the true inner products of the returned rows."""
+        from emdr2_tpu.ops.mips import dequantize_int8, quantize_int8
+        rng = np.random.RandomState(7)
+        n, d, k = 4096, 64, 8
+        q = rng.randn(24, d).astype(np.float32)
+        e = rng.randn(n, d).astype(np.float32)
+        q8, scales = quantize_int8(e, group_size=16)
+        stored = dequantize_int8(q8, scales, 16)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(q8), k,
+                              chunk_rows=512, group_size=16, query_tile=8,
+                              shard_scales=jnp.asarray(scales),
+                              interpret=True)
+        ev, ei = np_topk(q, stored, k)
+        np.testing.assert_array_equal(np.asarray(idx), ei)
+        np.testing.assert_allclose(np.asarray(vals), ev, atol=1e-4)
+        # returned scores == true dots of the returned rows
+        true = np.take_along_axis(q @ stored.T, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(vals), true, atol=1e-4)
+
+    def test_rescore_disabled_keeps_approximate_scores(self):
+        """rescore=0 keeps the pre-round-4 behavior: scores are the int8
+        approximations (within quantization error of the true dots)."""
+        from emdr2_tpu.ops.mips import quantize_int8
+        rng = np.random.RandomState(8)
+        n, d, k = 2048, 64, 8
+        q = rng.randn(16, d).astype(np.float32)
+        e = rng.randn(n, d).astype(np.float32)
+        q8, scales = quantize_int8(e, group_size=16)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(q8), k,
+                              chunk_rows=512, group_size=16, query_tile=8,
+                              shard_scales=jnp.asarray(scales), rescore=0,
+                              interpret=True)
+        true = np.take_along_axis(q @ e.T, np.asarray(idx), axis=1)
+        err = np.abs(np.asarray(vals) - true)
+        assert 0 < err.max() <= 0.02 * np.abs(q @ e.T).max()
+
+    def test_rescore_pad_rows_never_displace_negatives(self):
+        """The rescore gather hits zero pad rows (true dot 0.0) — they must
+        stay masked out when every real score is negative."""
+        from emdr2_tpu.ops.mips import quantize_int8
+        rng = np.random.RandomState(9)
+        n, d, k = 1000, 32, 5            # pads to 1024 inside
+        anchor = rng.randn(d).astype(np.float32)
+        q = -np.abs(rng.rand(6, 1)).astype(np.float32) * anchor[None, :]
+        e = np.abs(rng.rand(n, 1)).astype(np.float32) * anchor[None, :]
+        e += 0.01 * rng.randn(n, d).astype(np.float32)
+        q8, scales = quantize_int8(
+            np.pad(e, ((0, 24), (0, 0))), group_size=8)
+        vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(q8), k,
+                              chunk_rows=256, group_size=8, query_tile=8,
+                              shard_scales=jnp.asarray(scales),
+                              n_valid=n, interpret=True)
+        assert (np.asarray(idx) < n).all()
+        assert (np.asarray(vals) < 0).all()
+
     def test_fused_int8_matches_exact(self):
         """Fused kernel on an int8 shard: high recall vs exact fp32 top-k,
         scores within quantization error."""

@@ -36,10 +36,13 @@ def _spawn_workers(tmp_path, nproc=2, ndev=4, timeout=900, mode="train"):
         for pid in range(nproc)]
     outs = [p.communicate(timeout=timeout)[0] for p in procs]
     parsed = {}
+    mode_keys = {"train": ("LOSSES", "EVAL", "BKEY"),
+                 "refresh": ("ROWS", "VALS", "AGREE"),
+                 "prefetch": ("PLOSSES",),
+                 "zerocopy": ("ZEQ", "ZROWS", "ZVALS", "HROWS", "HVALS")}
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
-        keys = (("LOSSES", "EVAL", "BKEY") if mode == "train"
-                else ("ROWS", "VALS", "AGREE"))
+        keys = mode_keys[mode]
         for key in keys:
             lines = [ln for ln in out.splitlines() if ln.startswith(key)]
             assert lines, out[-2000:]
@@ -143,6 +146,66 @@ class TestMultiHostRefresh:
             parsed["ROWS"][0], np.asarray(rows).reshape(-1))
         np.testing.assert_allclose(
             parsed["VALS"][0], np.asarray(vals).reshape(-1), atol=1e-3)
+
+
+class TestMultiHostPrefetch:
+    def test_two_process_prefetch_matches_single_process(self, tmp_path):
+        """prefetch_depth=1 on a 2-process mesh via MainDispatchPrefetcher
+        (all jitted dispatch on the main thread, host-only worker — VERDICT
+        r3 item 3) must produce the same loss sequence on both processes AND
+        match a single-process run of the same pipeline."""
+        parsed = _spawn_workers(tmp_path, nproc=2, ndev=4, mode="prefetch")
+        mh = parsed["PLOSSES"]
+        assert len(mh) == 2 and len(mh[0]) == 6   # 2 epochs x 3 batches
+        np.testing.assert_allclose(mh[0], mh[1], rtol=0, atol=0)
+        assert np.isfinite(mh[0]).all()
+
+        # single-process 8-device run of the SAME pipeline (main-dispatch
+        # feeder, snapshot selection) — staleness semantics are thread-
+        # independent by construction, so losses must agree
+        import jax
+        from emdr2_tpu.config import MeshConfig
+        from emdr2_tpu.parallel import build_mesh
+        from emdr2_tpu.retrieval import ShardedEvidenceIndex
+        from emdr2_tpu.tasks import E2EQATask
+        from emdr2_tpu.training.prefetch import MainDispatchPrefetcher
+        from tests.helpers import build_toy_world
+        d = (tmp_path / "single_p").mkdir() or tmp_path / "single_p"
+        cfg, tok, corpus, ds, _ = build_toy_world(d)
+        mesh = build_mesh(MeshConfig(dp=8, tp=1))
+        emb = np.random.RandomState(0).randn(
+            len(corpus), cfg.index.embed_dim).astype(np.float32)
+        index = ShardedEvidenceIndex(mesh, cfg.index, emb)
+        task = E2EQATask(cfg, mesh, tok, corpus, index, total_train_iters=10)
+        task.init_state(jax.random.PRNGKey(0), 8)
+        task.enable_prefetch_snapshots()
+        single = []
+        for epoch in range(2):
+            feed = MainDispatchPrefetcher(
+                task, ds.epoch_batches(8, seed=epoch), depth=1)
+            for db in feed:
+                single.append(float(task.train_step_prebuilt(db)["loss"]))
+        np.testing.assert_allclose(mh[0], single, rtol=2e-4)
+
+
+class TestMultiHostZeroCopyRefresh:
+    def test_zero_copy_swap_equals_host_path(self, tmp_path):
+        """Device-resident global embed over a disjoint process-spanning
+        embed mesh + local-repartition swap must answer searches identically
+        to the host-RAM per-process block path (VERDICT r3 item 4)."""
+        parsed = _spawn_workers(tmp_path, nproc=2, ndev=4, mode="zerocopy")
+        # the row-level contract: each process's post-swap index rows equal
+        # its host-path block (up to bf16/fp16 storage rounding)
+        assert parsed["ZEQ"][0] == [1.0] and parsed["ZEQ"][1] == [1.0]
+        # search values agree between the two paths within storage rounding
+        np.testing.assert_allclose(parsed["ZVALS"][0], parsed["HVALS"][0],
+                                   atol=2e-2)
+        # and replicated search results agree across processes, per path
+        for tag in ("ZROWS", "HROWS"):
+            np.testing.assert_array_equal(parsed[tag][0], parsed[tag][1])
+        for tag in ("ZVALS", "HVALS"):
+            np.testing.assert_allclose(parsed[tag][0], parsed[tag][1],
+                                       rtol=1e-6)
 
 
 class TestSlicingHelpers:
