@@ -97,17 +97,24 @@ def bench_mips(on_cpu: bool):
 
 
 def flagship_step_config(B: int = 4, K: int = 50,
-                         remat_policy: str = "nothing"):
+                         remat_policy: str = "nothing",
+                         remat_towers: bool = False):
     """The flagship NQ recipe exactly as examples/openqa/emdr2_nq.sh runs it:
     BERT-base retriever + T5-base FiD reader, seq 512/256/32, flash attention
-    everywhere + per-layer remat, bf16 compute / fp32 params+adam."""
+    everywhere, bf16 compute / fp32 params+adam. Per-layer remat on the
+    reader; the dual-encoder towers STORE their activations by default
+    (``--no-remat-towers``): measured -51 ms/step for +1.55 GB temp HBM at
+    this shape — the cheapest backward pass to buy back with the headroom
+    the online-logsumexp teacher head freed (README remat-policy table).
+    ``remat_towers=True`` restores full remat (the minimum-HBM layout)."""
     from emdr2_tpu.config import EMDR2Config
 
     cfg = EMDR2Config()
     return cfg.replace(
         retriever=dataclasses.replace(
             cfg.retriever,
-            encoder=dataclasses.replace(cfg.retriever.encoder, remat=True,
+            encoder=dataclasses.replace(cfg.retriever.encoder,
+                                        remat=remat_towers,
                                         remat_policy=remat_policy,
                                         fid_flash_attention=True)),
         reader=dataclasses.replace(
@@ -121,13 +128,14 @@ def flagship_step_config(B: int = 4, K: int = 50,
 
 
 def make_flagship_step(B: int = 4, K: int = 50,
-                       remat_policy: str = "nothing"):
+                       remat_policy: str = "nothing",
+                       remat_towers: bool = False):
     """(compiled_step, state, batch) for the flagship shape — shared by
     bench.py and warmup so the persistent compile cache always hits."""
     from emdr2_tpu.models import EMDR2Batch, EMDR2Model
     from emdr2_tpu.training import step as step_lib
 
-    cfg = flagship_step_config(B, K, remat_policy)
+    cfg = flagship_step_config(B, K, remat_policy, remat_towers)
     rng = np.random.RandomState(0)
 
     def ids(*shape):
@@ -233,7 +241,8 @@ def bench_train_step(B: int = 4, K: int = 50):
     kind = getattr(jax.devices()[0], "device_kind", "")
     peak = PEAK_FLOPS.get(kind)
     out = {
-        "config": f"B={B} K={K} seq512 flash+remat bf16 (emdr2_nq.sh recipe)",
+        "config": (f"B={B} K={K} seq512 flash bf16, reader remat + "
+                   "towers stored (emdr2_nq.sh recipe)"),
         "ms_per_step": round(dt * 1000, 1),
         "examples_per_sec_per_chip": round(B / dt, 2),
         "hlo_tflops_per_step": round(flops / 1e12, 1),

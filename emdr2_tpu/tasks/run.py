@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "full recompute (minimum HBM), 'dots_no_batch' = "
                         "save projection/MLP matmul outputs so backward "
                         "only recomputes attention (needs HBM headroom)")
+    g.add_argument("--no-remat-towers", action="store_true",
+                   help="keep --remat on the reader but store the dual-"
+                        "encoder towers' activations (no recompute): "
+                        "measured -51 ms/step for +1.55 GB HBM on v5e at "
+                        "the flagship shape (BENCH r4) — the towers are "
+                        "the cheapest pass to buy back")
     g.add_argument("--fid-flash-attention", action="store_true",
                    help="Pallas flash kernel for FiD decoder cross-attention "
                         "AND all padding-masked encoder self-attention "
@@ -161,10 +167,12 @@ def make_config(args):
     enc = C.TransformerConfig(
         hidden_size=args.hidden_size, num_layers=args.num_layers,
         num_heads=args.num_attention_heads, ffn_size=args.ffn_hidden_size,
-        num_tokentypes=2, remat=args.remat, remat_policy=args.remat_policy,
+        num_tokentypes=2,
+        remat=args.remat and not getattr(args, "no_remat_towers", False),
+        remat_policy=args.remat_policy,
         fid_flash_attention=args.fid_flash_attention,
         flash_key_chunk=args.flash_key_chunk)
-    t5c = dataclasses.replace(enc, num_tokentypes=0)
+    t5c = dataclasses.replace(enc, num_tokentypes=0, remat=args.remat)
     cfg = C.EMDR2Config(
         retriever=C.RetrieverConfig(
             encoder=enc, embed_dim=args.hidden_size,

@@ -314,12 +314,17 @@ def bench_overlap(corpus, B: int, K: int, iters: int = 8):
 
 
 def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
-                 include_beam: bool = True):
+                 include_beam: bool = True, breakdown: bool = False,
+                 bf16_params: bool = False):
     """Generation latency at flagship size: retrieval-conditioned FiD encode
     (K contexts) + KV-cached greedy decode of ``max_decode_len`` tokens —
     the per-batch cost of ``evaluate_em`` / ``QAPipeline.ask``. The
     reference re-runs the decoder over the whole prefix every step
-    (search_strategy.py:200-227); this path decodes incrementally."""
+    (search_strategy.py:200-227); this path decodes incrementally.
+
+    ``breakdown=True`` additionally times the encode phase (FiD encoder +
+    per-layer cross-K/V precompute) separately from the token loop and
+    reports the encode-phase MFU (VERDICT r3 weak #7)."""
     import sys
 
     import jax
@@ -349,6 +354,13 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
         loss_mask=jnp.zeros((B, Ld), jnp.float32),
     )
     params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    if bf16_params:
+        # eval holds no optimizer state and needs no fp32 master weights —
+        # bf16 storage (the compute dtype anyway) frees ~0.9 GB at 440M
+        # params, which is what lets B=8 eval batches fit on a 16 GB v5e
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
     session = DecoderSession(model, params, max_decode_len)
     greedy_decode(session, batch, bos_id=1, eos_id=0)     # compile+warm
     t0 = time.time()
@@ -359,6 +371,40 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
 
     out = {"decode_ms_per_batch": round(dt * 1000, 1),
            "questions_per_sec_per_chip": round(B / dt, 2)}
+    if breakdown:
+        # encode phase alone (jits already warm from the full decode above)
+        def fence(x):
+            np.asarray(jax.device_get(
+                jax.tree_util.tree_leaves(x)[0]).ravel()[:1])
+        kvs, ef = session.encode(batch)
+        fence(kvs)
+        t0 = time.time()
+        for _ in range(iters):
+            # free the previous slab BEFORE re-encoding: two live copies of
+            # the [B, nh, 25.6k, hd] x 2 x layers cross-K/V (4.7 GB at B=4)
+            # thrash HBM and the measurement reads allocator churn, not the
+            # encode (first attempt measured 1671 ms vs 467 ms full decode)
+            kvs = ef = None
+            kvs, ef = session.encode(batch)
+        fence(kvs)
+        enc_dt = (time.time() - t0) / iters
+        del kvs, ef
+        # analytic encode FLOPs: B*K*Lr tokens through the T5 encoder
+        # (qkv/proj/mlp GEMMs + attention scores) + the per-layer cross-K/V
+        # projections of the [B, K*Lr, H] hidden states
+        t = cfg.reader.transformer
+        H, F, L = t.hidden_size, t.ffn_size, cfg.reader.seq_len
+        toks = B * K * L
+        per_tok = t.num_layers * 2 * (H * 3 * H + H * H + 2 * H * F
+                                      + 2 * L * H)
+        kv_flops = t.num_layers * 2 * toks * H * 2 * H
+        enc_flops = toks * per_tok + kv_flops
+        peak = bench_mod.PEAK_FLOPS.get(
+            jax.devices()[0].device_kind, 197e12)
+        out["encode_ms"] = round(enc_dt * 1000, 1)
+        out["token_loop_ms"] = round((dt - enc_dt) * 1000, 1)
+        out["encode_model_tflops"] = round(enc_flops / 1e12, 1)
+        out["encode_mfu"] = round(enc_flops / enc_dt / peak, 3)
     if not include_beam:   # bench.py budget: skip the beam-loop compile
         return out
 
@@ -385,6 +431,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--decode", action="store_true",
                    help="also measure FiD encode + greedy decode latency")
+    p.add_argument("--decode-sweep", action="store_true",
+                   help="eval-batch-size sweep of the decode path with the "
+                        "encode/token-loop breakdown (B in 4/8/16)")
     p.add_argument("--overlap", action="store_true",
                    help="also measure the full overlapped iteration "
                         "(prefetch pipeline: stage A+B hidden under step C)")
@@ -412,6 +461,25 @@ def main(argv=None):
 
     cache = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
     cache.mkdir(exist_ok=True)
+
+    if args.decode_sweep:
+        # eval has no optimizer/index HBM pressure, so larger batches can
+        # amortize the encode phase (VERDICT r3 weak #7): sweep B, report
+        # the breakdown, print one JSON line. fp32 params OOM past B=4 on
+        # 16 GB (the cross-K/V slab is 1.18 GB/example at K=50), so B>=8
+        # runs with bf16 param storage (see bench_decode bf16_params)
+        result = {"topk": args.topk, "decode_sweep": {}}
+        for B, bf16 in ((4, False), (4, True), (8, True), (16, True)):
+            key = f"B{B}" + ("_bf16params" if bf16 else "")
+            try:
+                result["decode_sweep"][key] = bench_decode(
+                    B, args.topk, include_beam=False, breakdown=True,
+                    bf16_params=bf16)
+            except Exception as e:
+                result["decode_sweep"][key] = {
+                    "error": f"{type(e).__name__}: {e}"[:160]}
+        print(json.dumps(result))
+        return
 
     if args.overlap or args.refresh or args.embed:
         # exclusive modes: each owns most of HBM at flagship scale, so they

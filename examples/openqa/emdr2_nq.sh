@@ -53,6 +53,10 @@ python -m emdr2_tpu.tasks.run \
     --embed-devices "$EMBED_DEVICES" \
     --fid-flash-attention \
     --remat \
+    --no-remat-towers \
+    `# keep remat on the reader but store the dual-encoder towers'` \
+    `# activations: measured -51 ms/step for +1.55 GB HBM (fits on v5e` \
+    `# WITH the int8 index; use plain --remat on bf16-index layouts)` \
     --index-reload-interval 500 \
     --index-quantize int8 \
     `# halves the index HBM (2 GB -> 1 GB/chip at 21M/16) with recall` \
