@@ -57,11 +57,14 @@ class DecoderSession:
     """
 
     def __init__(self, model: EMDR2Model, params, max_decode_len: int,
-                 mesh=None):
+                 mesh=None, kv_quant: Optional[str] = None):
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"kv_quant must be None or 'int8', {kv_quant!r}")
         self.model = model
         self.params = params
         self.max_decode_len = max_decode_len
         self.mesh = mesh
+        self.kv_quant = kv_quant
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._dp = NamedSharding(mesh, P("dp"))
@@ -108,7 +111,28 @@ class DecoderSession:
                                 preferred_element_type=enc_hidden.dtype
                                 ) + bias                       # [B, Lk, 2, H]
                 kv = kv.reshape(B, Lk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
-                outs.append((kv[0], kv[1]))      # each [B, nh, Lk, hd]
+                if kv_quant == "int8":
+                    # int8 storage halves both the slab HBM (4.7 -> 2.4 GB
+                    # at flagship shape) and the token loop's per-step read
+                    # roofline; the decode kernel dequantizes per key row
+                    # in VMEM (ops/decode_attention.py). Rows are padded to
+                    # the kernel's chunk multiple HERE, once per encode —
+                    # padded rows carry scale 1 / value 0 and the attention
+                    # bias marks them -1e9 (layers.py int8 branch).
+                    from emdr2_tpu.ops.decode_attention import (
+                        padded_rows, quantize_kv_rows)
+                    pad = padded_rows(Lk) - Lk
+                    k8, ks = quantize_kv_rows(kv[0])
+                    v8, vs = quantize_kv_rows(kv[1])
+                    if pad:
+                        k8, v8 = (jnp.pad(a, ((0, 0), (0, 0), (0, pad),
+                                              (0, 0))) for a in (k8, v8))
+                        ks, vs = (jnp.pad(a, ((0, 0), (0, 0), (0, pad)),
+                                          constant_values=1.0)
+                                  for a in (ks, vs))
+                    outs.append((k8, ks, v8, vs))
+                else:
+                    outs.append((kv[0], kv[1]))  # each [B, nh, Lk, hd]
             return outs
 
         def decode_lp(params, cache, tok, enc_flat_ids, kvs, pos):

@@ -326,6 +326,35 @@ class Attention(nn.Module):
                 # regardless of beam width, instead of beam-times (the
                 # repeat-the-slab form cost 64 ms/step at beam 5 vs the
                 # ~6 ms greedy step; the K/V read is the whole roofline).
+                if len(precomputed_kv) == 4:
+                    # int8-stored K/V (DecoderSession kv_quant="int8"):
+                    # halve the per-step slab read via the flash decode
+                    # kernel, which dequantizes per key row inside VMEM
+                    # (ops/decode_attention.py). Same beam folding as the
+                    # bf16 path: g beams become extra query rows.
+                    from emdr2_tpu.ops.decode_attention import (
+                        decode_cross_attention_int8_on)
+                    k8, ks, v8, vs = precomputed_kv
+                    Bq, Lq = x.shape[0], x.shape[-2]
+                    kvB = k8.shape[0]
+                    g = Bq // kvB
+                    Lk8 = k8.shape[2]
+                    qh = q.reshape(kvB, g * Lq, nh, hd)   # kernel scales q
+                    if bias is not None:
+                        # decode-step cross bias is pure key-side padding —
+                        # identical across beams and query rows — so one
+                        # [kvB, Lk] row per example feeds the kernel
+                        kvb = bias.astype(jnp.float32).reshape(
+                            (kvB, g) + bias.shape[1:])[:, 0, 0, 0, :]
+                    else:
+                        kvb = jnp.zeros((kvB, Lk8), jnp.float32)
+                    if kvb.shape[-1] < Lk8:   # slab was chunk-padded
+                        kvb = jnp.pad(kvb,
+                                      ((0, 0), (0, Lk8 - kvb.shape[-1])),
+                                      constant_values=-1e9)
+                    ctx = decode_cross_attention_int8_on(
+                        _kernel_mesh(cfg, kvB), qh, k8, ks, v8, vs, kvb)
+                    return out_proj(ctx.reshape(Bq, Lq, h))
                 k, v = precomputed_kv
                 Bq, Lq = x.shape[0], x.shape[-2]
                 g, kvB = Bq // k.shape[0], k.shape[0]

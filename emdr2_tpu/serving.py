@@ -37,7 +37,8 @@ class QAPipeline:
                  tokenizer: BertWordPieceTokenizer,
                  corpus: EvidenceCorpus, index: ShardedEvidenceIndex,
                  batch_size: int = 8, beam_size: int = 1,
-                 max_decode_len: Optional[int] = None):
+                 max_decode_len: Optional[int] = None,
+                 kv_quant: Optional[str] = None):
         self.cfg = cfg
         self.params = params
         self.tok = tokenizer
@@ -51,8 +52,10 @@ class QAPipeline:
         # ``load``/``bind_mesh``) makes the session's encode + token loops
         # mesh-sharded — batch rows over dp, flash kernels shard_mapped
         self.mesh = cfg.reader.transformer.mesh
+        # kv_quant="int8": int8-stored cross-K/V for the token loop — halves
+        # the decode slab HBM and its per-step read (ops/decode_attention.py)
         self.session = DecoderSession(self.model, params, self.max_decode_len,
-                                      mesh=self.mesh)
+                                      mesh=self.mesh, kv_quant=kv_quant)
         self._embed_query = jax.jit(
             lambda p, ids: self.model.apply({"params": p}, ids,
                                             method=EMDR2Model.embed_query))

@@ -329,7 +329,8 @@ class E2EQATask:
                     beam_size: int = 1, max_decode_len: Optional[int] = None,
                     max_batches: Optional[int] = None,
                     sample: bool = False,
-                    sample_seed: int = 1234) -> Tuple[float, int]:
+                    sample_seed: int = 1234,
+                    kv_quant: Optional[str] = None) -> Tuple[float, int]:
         """Generate answers and score exact match vs ground truths.
 
         Parity with ``reader_em_score`` (train_e2eqa.py:217-292): greedy when
@@ -338,7 +339,9 @@ class E2EQATask:
         search_strategy.py:213-217; per-batch keys fold ``sample_seed`` with
         the batch index, so runs reproduce), else length-normalized beam
         search; per-uid dedupe of padding duplicates; returns
-        (EM percentage, n examples).
+        (EM percentage, n examples). ``kv_quant="int8"`` stores the decode
+        cross-K/V slab int8 (half the HBM and per-step read;
+        ops/decode_attention.py) — token streams match the bf16 path.
 
         Multi-host (the reference evaluates across all trainer ranks and
         merges with an all_gather + per-uid dedupe, train_e2eqa.py:271-292):
@@ -363,11 +366,11 @@ class E2EQATask:
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # cache the session: its jitted fns must be reused across eval calls
         # or every eval recompiles the decoder
-        key = ("decoder_session", max_decode_len)
+        key = ("decoder_session", max_decode_len, kv_quant)
         if key not in self._jitted:
             self._jitted[key] = DecoderSession(
                 self.model, self.state.params, max_decode_len,
-                mesh=self.mesh)
+                mesh=self.mesh, kv_quant=kv_quant)
         session = self._jitted[key]
         session.params = self.state.params  # fresh weights, same jit cache
 

@@ -105,7 +105,10 @@ def run_openqa(args, cfg) -> int:
         assert valid_ds is not None, "--eval-only needs --valid-data"
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len,
-                                 sample=getattr(args, "sampling", False))
+                                 sample=getattr(args, "sampling", False),
+                                 kv_quant="int8" if getattr(
+                                     args, "decode_kv_int8", False)
+                                 else None)
         if is_coordinator():
             print(f" eval-only | EM {em:.2f} over {n}")
         return 0
@@ -142,7 +145,10 @@ def run_openqa(args, cfg) -> int:
         if valid_ds is not None:
             em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                      max_decode_len=args.max_decode_len,
-                                     sample=getattr(args, "sampling", False))
+                                     sample=getattr(args, "sampling", False),
+                                 kv_quant="int8" if getattr(
+                                     args, "decode_kv_int8", False)
+                                 else None)
             if is_coordinator():
                 print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
 
@@ -153,7 +159,10 @@ def run_openqa(args, cfg) -> int:
     if valid_ds is not None:
         em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len,
-                                 sample=getattr(args, "sampling", False))
+                                 sample=getattr(args, "sampling", False),
+                                 kv_quant="int8" if getattr(
+                                     args, "decode_kv_int8", False)
+                                 else None)
         if is_coordinator():
             print(f" final ({final} iters) | valid EM {em:.2f} over {n}")
     return 0

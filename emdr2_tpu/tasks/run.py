@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "greedy (SampleOrGreedySearch sampling mode, "
                         "search_strategy.py:213-217); only with beam-size 1")
     g.add_argument("--max-decode-len", type=int, default=32)
+    g.add_argument("--decode-kv-int8", action="store_true",
+                   help="store the precomputed cross-K/V slab int8 during "
+                        "EM eval decode (ops/decode_attention.py): halves "
+                        "both the slab HBM (4.7 -> 2.4 GB at K=50) and the "
+                        "token loop's per-step read roofline; greedy/beam "
+                        "token streams match the bf16 path on the tested "
+                        "models (tests/test_decode_int8.py)")
     g.add_argument("--train-hard-neg", type=int, default=1)
     g.add_argument("--val-av-rank-hard-neg", type=int, default=30,
                    help="hard negatives per query in av-rank validation "

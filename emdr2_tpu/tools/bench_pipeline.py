@@ -315,7 +315,7 @@ def bench_overlap(corpus, B: int, K: int, iters: int = 8):
 
 def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
                  include_beam: bool = True, breakdown: bool = False,
-                 bf16_params: bool = False):
+                 bf16_params: bool = False, kv_quant: str = None):
     """Generation latency at flagship size: retrieval-conditioned FiD encode
     (K contexts) + KV-cached greedy decode of ``max_decode_len`` tokens —
     the per-batch cost of ``evaluate_em`` / ``QAPipeline.ask``. The
@@ -361,7 +361,8 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
-    session = DecoderSession(model, params, max_decode_len)
+    session = DecoderSession(model, params, max_decode_len,
+                             kv_quant=kv_quant)
     greedy_decode(session, batch, bos_id=1, eos_id=0)     # compile+warm
     t0 = time.time()
     for _ in range(iters):
@@ -374,8 +375,10 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
     if breakdown:
         # encode phase alone (jits already warm from the full decode above)
         def fence(x):
-            np.asarray(jax.device_get(
-                jax.tree_util.tree_leaves(x)[0]).ravel()[:1])
+            # slice ON DEVICE before the host fetch — device_get of the
+            # leaf would pull the whole ~200 MB cross-K/V array through
+            # the tunnel and bill it to the encode timing
+            np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
         kvs, ef = session.encode(batch)
         fence(kvs)
         t0 = time.time()
@@ -469,12 +472,19 @@ def main(argv=None):
         # 16 GB (the cross-K/V slab is 1.18 GB/example at K=50), so B>=8
         # runs with bf16 param storage (see bench_decode bf16_params)
         result = {"topk": args.topk, "decode_sweep": {}}
-        for B, bf16 in ((4, False), (4, True), (8, True), (16, True)):
-            key = f"B{B}" + ("_bf16params" if bf16 else "")
+        # (B, bf16 param storage, int8 cross-K/V): measured r4 — fp32
+        # params OOM past B=4 (1.18 GB/example bf16 cross-K/V at K=50);
+        # B=8 bf16 barely helps (encode is compute-bound, 9.06 vs 8.64
+        # q/s); int8 K/V halves the token loop's read roofline AND the
+        # slab HBM, making the larger batches comfortable
+        for B, bf16, kvq in ((4, False, None), (4, False, "int8"),
+                             (8, True, "int8"), (16, True, "int8")):
+            key = (f"B{B}" + ("_bf16params" if bf16 else "")
+                   + ("_kvint8" if kvq else ""))
             try:
                 result["decode_sweep"][key] = bench_decode(
                     B, args.topk, include_beam=False, breakdown=True,
-                    bf16_params=bf16)
+                    bf16_params=bf16, kv_quant=kvq)
             except Exception as e:
                 result["decode_sweep"][key] = {
                     "error": f"{type(e).__name__}: {e}"[:160]}

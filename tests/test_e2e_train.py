@@ -72,6 +72,11 @@ class TestE2ETrain:
                                     beam_size=3)
         assert nb == 19
         assert 0.0 <= emb_ <= 100.0
+        # int8-stored cross-K/V (--decode-kv-int8): same EM through the
+        # mesh-sharded eval path as the bf16 slab
+        em8, n8 = task.evaluate_em(ds_odd, batch_size=8, max_decode_len=4,
+                                   kv_quant="int8")
+        assert (em8, n8) == (em, n), ((em8, n8), (em, n))
 
     def test_metrics_structure(self, world):
         cfg, tok, corpus, ds, _ = world
