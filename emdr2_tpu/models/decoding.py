@@ -41,6 +41,35 @@ def length_penalty(n: int, alpha: float = 0.6) -> float:
     return (5.0 + n) ** alpha / (5.0 + 1.0) ** alpha
 
 
+def bf16_eval_params(params):
+    """Shrink eval/serving param HBM with BIT-identical outputs.
+
+    Casts every fp32 *kernel* of rank >= 2 (Dense/FusedDense weights) to
+    bf16 storage. The model consumes those through an ``astype(cfg.dtype)``
+    at the use site (layers.py Dense/FusedDense), so pre-rounding the
+    storage hands the matmuls the exact same bf16 operands the fp32 copy
+    produced — token streams and step log-probs are unchanged
+    (tests/test_decoding.py::test_bf16_eval_params_identical).
+
+    Kept fp32 because they are consumed in fp32, where pre-rounding WOULD
+    change results: rank-0/1 leaves (LayerNorm scale/bias, layers.py:148-157;
+    LM bias added to fp32 logits) and the embedding tables — Embeddings
+    sums word+position(+tokentype) lookups in fp32 *before* the bf16 cast
+    (layers.py:247-254), so the tables must stay fp32 for the sum to round
+    identically. 440M params: 1.76 GB -> ~1.0 GB (the ~70M embedding rows
+    stay fp32).
+    """
+    def cast(path, x):
+        if not (hasattr(x, "dtype") and x.dtype == jnp.float32
+                and getattr(x, "ndim", 0) >= 2):
+            return x
+        if any("embeddings" in str(getattr(p, "key", "")) for p in path):
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def _take_rows(tree, idx):
     """Gather rows of every array leaf along axis 0 (cache fan-out/reorder)."""
     return jax.tree_util.tree_map(

@@ -29,6 +29,23 @@ from emdr2_tpu.models.decoding import DecoderSession, beam_search_decode, greedy
 from emdr2_tpu.retrieval.index import ShardedEvidenceIndex
 
 
+def _unbox_params(tree):
+    """Strip ``nn.LogicallyPartitioned`` boxes degraded to plain
+    ``{'value': ...}`` dicts by a structure-free orbax restore.
+
+    Train params are boxed (layers.py ``with_lp``); a PyTreeCheckpointer
+    restore without an abstract target loses the box type, leaving a dict
+    level ``apply`` cannot unbox — ``word_embeddings`` would resolve to a
+    dict, not an array (caught end-to-end by the /verify drive; the
+    training loaders are unaffected because they restore against an
+    abstract state that carries the real box types)."""
+    if isinstance(tree, dict):
+        if set(tree.keys()) == {"value"}:
+            return _unbox_params(tree["value"])
+        return {k: _unbox_params(v) for k, v in tree.items()}
+    return tree
+
+
 class QAPipeline:
     """Batched open-domain QA: every call retrieves fresh top-K evidence and
     generates an answer with the reader."""
@@ -38,20 +55,36 @@ class QAPipeline:
                  corpus: EvidenceCorpus, index: ShardedEvidenceIndex,
                  batch_size: int = 8, beam_size: int = 1,
                  max_decode_len: Optional[int] = None,
-                 kv_quant: Optional[str] = None):
+                 kv_quant: Optional[str] = None,
+                 bf16_params: bool = True):
         self.cfg = cfg
+        if bf16_params:
+            # serving holds no optimizer state and no fp32 master copy, so
+            # the dense kernels can live in bf16 storage outright —
+            # BIT-identical outputs (see bf16_eval_params) at ~0.76 GB
+            # less param HBM (440M params)
+            from emdr2_tpu.models.decoding import bf16_eval_params
+            params = bf16_eval_params(params)
         self.params = params
         self.tok = tokenizer
         self.corpus = corpus
         self.index = index
-        self.batch_size = batch_size
-        self.beam_size = beam_size
-        self.max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         self.model = EMDR2Model(cfg)
         # serving shards like eval does: the mesh bound into the config (by
         # ``load``/``bind_mesh``) makes the session's encode + token loops
         # mesh-sharded — batch rows over dp, flash kernels shard_mapped
         self.mesh = cfg.reader.transformer.mesh
+        if self.mesh is not None:
+            # batch rows become one dp-sharded global array, so the jitted
+            # batch must be a multiple of the mesh's dp rows; round up —
+            # ask() already pads each chunk with duplicate questions and
+            # trims the answers back to the real count
+            import math
+            rows = self.mesh.shape[self.mesh.axis_names[0]]
+            batch_size = -(-batch_size // rows) * rows
+        self.batch_size = batch_size
+        self.beam_size = beam_size
+        self.max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # kv_quant="int8": int8-stored cross-K/V for the token loop — halves
         # the decode slab HBM and its per-step read (ops/decode_attention.py)
         self.session = DecoderSession(self.model, params, self.max_decode_len,
@@ -99,7 +132,8 @@ class QAPipeline:
         it = ck.latest_iteration(checkpoint_dir)
         with ocp.PyTreeCheckpointer() as c:
             tree = c.restore(ck.iter_dir(checkpoint_dir, it))
-        return cls(cfg, tree["params"], t5_tok, corpus, index, **kw)
+        return cls(cfg, _unbox_params(tree["params"]), t5_tok, corpus, index,
+                   **kw)
 
     # ---------------------------------------------------------------- serving
 

@@ -357,6 +357,16 @@ class E2EQATask:
         cfg = self.cfg
         batch_size = batch_size or self.global_batch_size
         procs, rank = jax.process_count(), jax.process_index()
+        # batch rows become one dp-sharded global array, so the jitted batch
+        # must divide over the mesh's dp rows (and over processes). Round UP
+        # instead of erroring: the pad rows are uid-duplicates that the
+        # per-uid score dedupe below already discards, so a rounded batch
+        # costs only compute, never correctness (an --eval-batch-size 4 on
+        # a dp=8 mesh decodes 8 rows a batch, scores 4 unique)
+        import math
+        dp_rows = self.mesh.shape[self.mesh.axis_names[0]]
+        mult = math.lcm(procs, dp_rows)
+        batch_size = -(-batch_size // mult) * mult
         if batch_size % procs:
             raise ValueError(
                 f"eval batch_size {batch_size} must divide evenly over "

@@ -101,9 +101,19 @@ def run_openqa(args, cfg) -> int:
 
     from emdr2_tpu.parallel.distributed import is_coordinator
 
+    eval_bs = getattr(args, "eval_batch_size", None)
+
     if getattr(args, "eval_only", False):
         assert valid_ds is not None, "--eval-only needs --valid-data"
-        em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+        # no training follows, so no fp32 master copy is needed: bf16
+        # param storage (bit-identical decode, models/decoding.py
+        # bf16_eval_params) halves param HBM and makes room for the
+        # larger eval batches / the cross-K/V slab
+        from emdr2_tpu.models.decoding import bf16_eval_params
+        task.state = task.state._replace(
+            params=bf16_eval_params(task.state.params))
+        em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
+                                 beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len,
                                  sample=getattr(args, "sampling", False),
                                  kv_quant="int8" if getattr(
@@ -143,12 +153,13 @@ def run_openqa(args, cfg) -> int:
         # collective: every process participates in the mesh-sharded decode
         # (engine.train invokes the callback on all processes in lockstep)
         if valid_ds is not None:
-            em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+            em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
+                                     beam_size=args.beam_size,
                                      max_decode_len=args.max_decode_len,
                                      sample=getattr(args, "sampling", False),
-                                 kv_quant="int8" if getattr(
-                                     args, "decode_kv_int8", False)
-                                 else None)
+                                     kv_quant="int8" if getattr(
+                                         args, "decode_kv_int8", False)
+                                     else None)
             if is_coordinator():
                 print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
 
@@ -157,7 +168,8 @@ def run_openqa(args, cfg) -> int:
                          prefetch_depth=getattr(args, "prefetch_depth", 0),
                          timeout_minutes=getattr(args, "timeout_minutes", None))
     if valid_ds is not None:
-        em, n = task.evaluate_em(valid_ds, beam_size=args.beam_size,
+        em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
+                                 beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len,
                                  sample=getattr(args, "sampling", False),
                                  kv_quant="int8" if getattr(

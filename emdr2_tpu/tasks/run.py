@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "token loop's per-step read roofline; greedy/beam "
                         "token streams match the bf16 path on the tested "
                         "models (tests/test_decode_int8.py)")
+    g.add_argument("--eval-batch-size", type=int, default=None,
+                   help="global batch for the EM-eval decode (default: the "
+                        "train batch). Eval holds no optimizer state, so "
+                        "larger batches amortize the FiD encode phase — "
+                        "measured sweep in the README decode table; pair "
+                        "with --decode-kv-int8 to fit the cross-K/V slab "
+                        "on 16 GB parts")
     g.add_argument("--train-hard-neg", type=int, default=1)
     g.add_argument("--val-av-rank-hard-neg", type=int, default=30,
                    help="hard negatives per query in av-rank validation "

@@ -356,11 +356,12 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
     params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
     if bf16_params:
         # eval holds no optimizer state and needs no fp32 master weights —
-        # bf16 storage (the compute dtype anyway) frees ~0.9 GB at 440M
-        # params, which is what lets B=8 eval batches fit on a 16 GB v5e
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+        # bf16 kernel storage frees ~0.76 GB at 440M params (embedding
+        # tables stay fp32), which is what lets B=8 eval batches fit on a
+        # 16 GB v5e. bf16_eval_params is the shipping QAPipeline path:
+        # BIT-identical token streams (tests/test_decoding.py)
+        from emdr2_tpu.models.decoding import bf16_eval_params
+        params = bf16_eval_params(params)
     session = DecoderSession(model, params, max_decode_len,
                              kv_quant=kv_quant)
     greedy_decode(session, batch, bos_id=1, eos_id=0)     # compile+warm

@@ -169,6 +169,63 @@ class TestCLIPipeline:
         out = capsys.readouterr().out
         assert "initialized retriever from" in out
 
+    def test_04b_eval_only_batch_roundup(self, workdir, capsys):
+        """--eval-only with an --eval-batch-size that does not divide the
+        dp mesh: evaluate_em rounds the jitted batch up to the mesh row
+        multiple (pad rows are uid-duplicates the score dedupe discards),
+        and the bf16 eval param cast engages."""
+        from emdr2_tpu.tasks.run import main
+        rc = main(["--task", "OPENQA",
+                   "--vocab-file", str(workdir / "vocab.txt"),
+                   "--train-data", str(workdir / "qa.csv"),
+                   "--valid-data", str(workdir / "qa.csv"),
+                   "--evidence-data-path", str(workdir / "wiki"),
+                   "--embedding-path", str(workdir / "emb"),
+                   "--load", str(workdir / "run"),
+                   "--eval-only", "--eval-batch-size", "3",
+                   "--topk-retrievals", "2", "--batch-size", "1",
+                   "--dp", "8", "--epochs", "1",
+                   "--seq-length", "48", "--seq-length-dec", "8",
+                   "--max-decode-len", "4"] + MODEL_ARGS)
+        assert rc == 0
+        out = capsys.readouterr().out
+        # all 16 unique examples scored despite padding/round-up
+        assert "over 16" in out
+
+    def test_04c_qapipeline_load(self, workdir):
+        """QAPipeline.load against a REAL saved checkpoint: the orbax
+        restore degrades nn.LogicallyPartitioned boxes to {'value': ...}
+        dicts, which load must strip (serving.py _unbox_params) — and the
+        bf16_params default must answer identically to fp32 storage."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from emdr2_tpu.config import (EMDR2Config, IndexConfig, ReaderConfig,
+                                      RetrieverConfig, TransformerConfig)
+        from emdr2_tpu.serving import QAPipeline
+        enc = TransformerConfig(
+            vocab_size=1, hidden_size=32, num_layers=1, num_heads=2,
+            ffn_size=64, max_position_embeddings=512, num_tokentypes=2,
+            hidden_dropout=0.0, attention_dropout=0.0, dtype=jnp.bfloat16)
+        t5c = dataclasses.replace(enc, num_tokentypes=0)
+        cfg = EMDR2Config(
+            retriever=RetrieverConfig(encoder=enc, embed_dim=32,
+                                      seq_len=24, query_seq_len=16),
+            reader=ReaderConfig(transformer=t5c, seq_len=48,
+                                decoder_seq_len=8),
+            index=IndexConfig(embed_dim=32, topk=2))
+        kw = dict(checkpoint_dir=str(workdir / "run"),
+                  vocab_file=str(workdir / "vocab.txt"),
+                  evidence_prefix=str(workdir / "wiki"),
+                  embedding_path=str(workdir / "emb"))
+        qs = ["what is the color of item0", "what is the color of item3"]
+        p16 = QAPipeline.load(cfg=cfg, batch_size=4, **kw)  # bf16 default
+        a16 = p16.ask(qs)
+        assert len(a16) == 2 and all(isinstance(a, str) for a in a16)
+        p32 = QAPipeline.load(cfg=cfg, batch_size=4, bf16_params=False, **kw)
+        assert p32.ask(qs) == a16
+
     def test_06_checkpoint_surgery(self, workdir):
         from emdr2_tpu.tools.checkpoint_surgery import extract, strip_optim
         run = str(workdir / "run")

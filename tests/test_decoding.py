@@ -82,6 +82,62 @@ class TestGreedy:
         assert a == b
 
 
+class TestBf16EvalParams:
+    def test_bf16_eval_params_identical(self):
+        """bf16 param storage for eval/serving is BIT-identical under bf16
+        compute: every rank>=2 fp32 leaf is consumed through an
+        ``astype(cfg.dtype)`` at its use site, so pre-rounding the storage
+        hands the matmuls the exact same bf16 operands. Rank-0/1 leaves
+        (LayerNorm scale/bias, LM bias) must stay fp32 — they are consumed
+        in fp32."""
+        import dataclasses
+
+        from emdr2_tpu.models.decoding import bf16_eval_params
+
+        cfg = tiny_config()
+        enc = dataclasses.replace(cfg.retriever.encoder, dtype=jnp.bfloat16)
+        t5c = dataclasses.replace(cfg.reader.transformer, dtype=jnp.bfloat16)
+        cfg = cfg.replace(
+            retriever=dataclasses.replace(cfg.retriever, encoder=enc),
+            reader=dataclasses.replace(cfg.reader, transformer=t5c))
+        model = EMDR2Model(cfg)
+        batch = make_batch(cfg)
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+        cast = bf16_eval_params(params)
+
+        # structure: every rank>=2 fp32 kernel became bf16; embedding
+        # tables (fp32-summed before the bf16 cast, layers.py:247-254),
+        # LayerNorm scale/bias and other rank-0/1 leaves stay fp32
+        n_cast = 0
+        for (k, a), (k2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(cast)):
+            assert k == k2
+            is_emb = any("embeddings" in str(getattr(p, "key", ""))
+                         for p in k)
+            if a.dtype == jnp.float32 and a.ndim >= 2 and not is_emb:
+                assert b.dtype == jnp.bfloat16, k
+                n_cast += 1
+            else:
+                assert b.dtype == a.dtype, k
+        assert n_cast > 10  # the dense kernels actually moved
+
+        # step log-probs are bitwise equal, not merely close
+        s32 = DecoderSession(model, params, max_decode_len=5)
+        s16 = DecoderSession(model, cast, max_decode_len=5)
+        kvs32, ef32 = s32.encode(batch)
+        kvs16, ef16 = s16.encode(batch)
+        B = batch.dec_ids.shape[0]
+        tok = np.full((B, 1), 1, np.int32)
+        lp32, _ = s32.step(s32.init_cache(B, kvs32, ef32), tok, kvs32, ef32, 0)
+        lp16, _ = s16.step(s16.init_cache(B, kvs16, ef16), tok, kvs16, ef16, 0)
+        assert np.array_equal(np.asarray(lp32), np.asarray(lp16))
+
+        # and therefore identical token streams end-to-end
+        assert (greedy_decode(s32, batch, bos_id=1, eos_id=2)
+                == greedy_decode(s16, batch, bos_id=1, eos_id=2))
+
+
 class TestSampling:
     def test_device_loop_deterministic_per_key(self, setup):
         """Sampling runs in the device-resident loop: same key -> same
