@@ -141,10 +141,11 @@ class DecoderSession:
                                 ) + bias                       # [B, Lk, 2, H]
                 kv = kv.reshape(B, Lk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
                 if kv_quant == "int8":
-                    # int8 storage halves both the slab HBM (4.7 -> 2.4 GB
-                    # at flagship shape) and the token loop's per-step read
-                    # roofline; the decode kernel dequantizes per key row
-                    # in VMEM (ops/decode_attention.py). Rows are padded to
+                    # int8 storage halves the slab HBM (3.8 -> 1.9 GB at
+                    # flagship B=4) at parity step latency — the measured
+                    # trade is capacity, not speed (ops/decode_attention.py
+                    # module docstring); the decode kernel dequantizes per
+                    # key row in VMEM. Rows are padded to
                     # the kernel's chunk multiple HERE, once per encode —
                     # padded rows carry scale 1 / value 0 and the attention
                     # bias marks them -1e9 (layers.py int8 branch).

@@ -2,11 +2,22 @@
 
 The KV-cached token loop is HBM-bandwidth-bound: at the flagship FiD shape
 (K=50 contexts x 512 tokens = 25.6k keys, 12 decoder layers) every decode
-step re-reads the whole precomputed cross-K/V slab — 4.7 GB in bf16 — and
-the measured ~6 ms/step sits at exactly that read roofline (README decode
-table). This module halves the roofline by storing the slab in int8 with
-per-(batch, head, key-row) scales and dequantizing INSIDE the kernel's
-VMEM working set, so HBM only ever sees 1 byte/element:
+step re-reads the whole precomputed cross-K/V slab — 3.8 GB in bf16 at
+B=4 — and the measured ~6 ms/step sits near that read roofline (README
+decode table). This module stores the slab in int8 with per-(batch, head,
+key-row) scales and dequantizes INSIDE the kernel's VMEM working set, so
+HBM only ever sees 1 byte/element.
+
+What that buys, measured (r4): the slab's HBM *footprint* halves — which
+is what lets decode coexist with the train state during training-time eval
+and enables B=8 eval batches — while step LATENCY is parity with the bf16
+path (230 vs 221 ms/32-token loop at B=4, within chip noise), not the 2x
+the byte count alone would suggest: at hd=64 the per-head dequant converts
+and the R=1-row matmuls cost roughly what the saved bytes buy back.
+(Measured variants that did NOT help: feeding int8 operands straight to
+the MXU dot — Mosaic materializes the bf16 copies anyway, scoped-VMEM OOM
+at bigger head blocks; vectorizing the online-softmax across the head
+block to use all 8 VPU sublanes — parity with the per-head loop.)
 
   - ``quantize_kv_rows``: [.., Lk, hd] -> (int8 rows, fp32 row scales).
     Symmetric per-row absmax quantization; the scale axis is the key row,

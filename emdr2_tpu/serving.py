@@ -86,7 +86,7 @@ class QAPipeline:
         self.beam_size = beam_size
         self.max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # kv_quant="int8": int8-stored cross-K/V for the token loop — halves
-        # the decode slab HBM and its per-step read (ops/decode_attention.py)
+        # the decode slab HBM at parity latency (ops/decode_attention.py)
         self.session = DecoderSession(self.model, params, self.max_decode_len,
                                       mesh=self.mesh, kv_quant=kv_quant)
         self._embed_query = jax.jit(

@@ -340,8 +340,8 @@ class E2EQATask:
         the batch index, so runs reproduce), else length-normalized beam
         search; per-uid dedupe of padding duplicates; returns
         (EM percentage, n examples). ``kv_quant="int8"`` stores the decode
-        cross-K/V slab int8 (half the HBM and per-step read;
-        ops/decode_attention.py) — token streams match the bf16 path.
+        cross-K/V slab int8 — half the slab HBM at parity step latency
+        (ops/decode_attention.py) — token streams match the bf16 path.
 
         Multi-host (the reference evaluates across all trainer ranks and
         merges with an all_gather + per-uid dedupe, train_e2eqa.py:271-292):

@@ -108,10 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--decode-kv-int8", action="store_true",
                    help="store the precomputed cross-K/V slab int8 during "
                         "EM eval decode (ops/decode_attention.py): halves "
-                        "both the slab HBM (4.7 -> 2.4 GB at K=50) and the "
-                        "token loop's per-step read roofline; greedy/beam "
-                        "token streams match the bf16 path on the tested "
-                        "models (tests/test_decode_int8.py)")
+                        "the slab HBM (what lets decode coexist with the "
+                        "train state / larger eval batches) at parity "
+                        "step latency vs bf16; greedy/beam token streams "
+                        "match the bf16 path on the tested models "
+                        "(tests/test_decode_int8.py)")
     g.add_argument("--eval-batch-size", type=int, default=None,
                    help="global batch for the EM-eval decode (default: the "
                         "train batch). Eval holds no optimizer state, so "

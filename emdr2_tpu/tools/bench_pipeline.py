@@ -473,13 +473,15 @@ def main(argv=None):
         # 16 GB (the cross-K/V slab is 1.18 GB/example at K=50), so B>=8
         # runs with bf16 param storage (see bench_decode bf16_params)
         result = {"topk": args.topk, "decode_sweep": {}}
-        # (B, bf16 param storage, int8 cross-K/V): measured r4 — fp32
-        # params OOM past B=4 (1.18 GB/example bf16 cross-K/V at K=50);
-        # B=8 bf16 barely helps (encode is compute-bound, 9.06 vs 8.64
-        # q/s); int8 K/V halves the token loop's read roofline AND the
-        # slab HBM, making the larger batches comfortable
+        # (B, bf16 param storage, int8 cross-K/V): measured r4 (README
+        # decode table) — throughput is ~flat in B (8.55 q/s at B=4 fp32,
+        # 9.01 at B=8 bf16: encode FLOPs and the per-step slab read both
+        # scale linearly, nothing amortizes); fp32 params OOM past B=4
+        # (0.94 GB/example bf16 cross-K/V at K=50); B=16 fails to compile
+        # at K=50 (25.6k-key encode workspace); int8 K/V is throughput-
+        # neutral — its value is the halved slab HBM
         for B, bf16, kvq in ((4, False, None), (4, False, "int8"),
-                             (8, True, "int8"), (16, True, "int8")):
+                             (8, True, None), (8, True, "int8")):
             key = (f"B{B}" + ("_bf16params" if bf16 else "")
                    + ("_kvint8" if kvq else ""))
             try:
