@@ -108,6 +108,9 @@ def load_reference():
     torch.cuda.current_device = lambda: "cpu"
     torch.cuda.LongTensor = torch.LongTensor
     torch.cuda.FloatTensor = torch.FloatTensor
+    # the search strategies call .cuda() on fresh tensors inside their
+    # decode loops (search_strategy.py:138,71,84,195) — make it a no-op
+    torch.Tensor.cuda = lambda self, *a, **k: self
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -147,6 +150,7 @@ def load_reference():
     mpu_random._CUDA_RNG_STATE_TRACKER = _NullRngTracker()
 
     from megatron.model import emdr2_model as ref_emdr2
+    from megatron.model import search_strategy as ref_search
     from megatron.model import t5_model as ref_t5
     from megatron.model import dualencoder_model as ref_dual
 
@@ -159,5 +163,7 @@ def load_reference():
         EMDR2Model=ref_emdr2.EMDR2Model,
         ref_postprocess=ref_emdr2.postprocess,
         emdr2_model=ref_emdr2,
+        SampleOrGreedySearch=ref_search.SampleOrGreedySearch,
+        BeamSearch=ref_search.BeamSearch,
     )
     return _NS

@@ -282,6 +282,83 @@ class _FakeTopkRetriever:
         return data, None
 
 
+def test_generation_parity(ref, tmp_path):
+    """GOLDEN generation-semantics parity: run the reference's ACTUAL
+    ``SampleOrGreedySearch``/``BeamSearch`` decode loops
+    (``search_strategy.py:124-239``) on the live reference EMDR2 model in
+    eval mode, and assert our device-resident greedy and beam loops produce
+    the SAME token streams from the converted checkpoint. This pins the
+    generation contract the forward tests can't: BOS seeding, first-EOS
+    stripping, incremental-vs-full-prefix equivalence, and the beam's
+    length-penalty recursion + ended-hypothesis handling."""
+    from emdr2_tpu.models.decoding import (DecoderSession, beam_search_decode,
+                                           greedy_decode)
+
+    corpus = _build_corpus(tmp_path)
+    B, K, Ld = 2, T["topk"], T["seq_dec"]
+    topk_ids = np.array([[2, 4, 6], [3, 9, 8]])
+    rng = np.random.RandomState(23)
+    query_uid = np.array([-1, -2], dtype=np.int64)
+    q_bert = _rand_ids(rng, (B, T["seq_ret"]), pad_from=[9, 7])
+    q_t5 = _rand_ids(rng, (B, 8))
+    q_t5_len = np.array([6, 8])
+
+    ref.torch.manual_seed(29)
+    model = ref.EMDR2Model(_FakeTopkRetriever(corpus, topk_ids))
+    model.eval()  # inference branch: (lm_logits, topk_lp, enc_hidden, ids)
+
+    bos, eos = StubTokenizer.bos, StubTokenizer.eos
+    args = (torch.from_numpy(query_uid), torch.from_numpy(q_bert),
+            torch.zeros_like(torch.from_numpy(q_bert)),
+            torch.from_numpy(~_attend(q_bert, q_bert)),
+            torch.from_numpy(q_t5), torch.from_numpy(q_t5_len))
+    with torch.no_grad():
+        ref_greedy = ref.SampleOrGreedySearch(
+            max_decode_len=Ld, bos_id=bos, eos_id=eos, sample=False,
+            topk_evidence=K).generate_output(model, *args)
+        ref_beam = ref.BeamSearch(
+            max_decode_len=Ld, bos_id=bos, eos_id=eos, beam_size=3,
+            topk_evidence=K).generate_output(model, *args)
+
+    # ours: converted checkpoint + the same retrieved evidence
+    sd = model.state_dict_for_save_checkpoint()
+    params = convert_checkpoint({"model": sd, "checkpoint_version": 3},
+                                kind="emdr2", num_layers=T["num_layers"],
+                                num_heads=T["num_heads"])
+    ours_pp = postprocess_retrieved_python(
+        query_uid, q_t5, q_t5_len, topk_ids, corpus, K,
+        T["seq_ret"], T["seq_reader"],
+        StubTokenizer.cls, StubTokenizer.sep, StubTokenizer.pad)
+    enc_cfg = _tiny_cfg(T["padded_vocab"], 2)
+    cfg = EMDR2Config(
+        retriever=RetrieverConfig(encoder=enc_cfg, embed_dim=T["hidden_size"],
+                                  seq_len=T["seq_ret"], query_seq_len=10),
+        reader=ReaderConfig(transformer=_tiny_cfg(T["padded_vocab"], 0),
+                            seq_len=T["seq_reader"], decoder_seq_len=Ld),
+        update_retriever=True, retriever_score_scaling=True)
+    batch = EMDR2Batch(
+        query_bert_ids=jnp.asarray(q_bert),
+        context_bert_ids=jnp.asarray(ours_pp.context_bert_ids),
+        context_bert_types=jnp.asarray(ours_pp.context_bert_types),
+        reader_ids=jnp.asarray(ours_pp.reader_ids),
+        reader_one_ctx_ids=jnp.asarray(ours_pp.reader_one_ctx_ids),
+        dec_ids=jnp.zeros((B, Ld), np.int32),
+        labels=jnp.zeros((B, Ld), np.int32),
+        loss_mask=jnp.zeros((B, Ld), np.float32))
+    session = DecoderSession(EMDR2Model(cfg), params, max_decode_len=Ld)
+    got_greedy = greedy_decode(session, batch, bos_id=bos, eos_id=eos)
+    got_beam = beam_search_decode(session, batch, bos_id=bos, eos_id=eos,
+                                  beam_size=3)
+
+    # the reference substitutes [1] when a row's FIRST token is EOS
+    # (search_strategy.py:233-235); ours returns the empty stream
+    def norm(rows):
+        return [[] if r == [1] else list(r) for r in rows]
+
+    assert norm([list(h) for h in got_greedy]) == norm(ref_greedy)
+    assert norm([list(h) for h in got_beam]) == norm(ref_beam)
+
+
 def test_emdr2_full_forward_parity(ref, tmp_path):
     corpus = _build_corpus(tmp_path)
     B, K, Ld = 2, T["topk"], T["seq_dec"]
