@@ -170,6 +170,26 @@ def convert_bert(lm_sd: Dict, num_layers: int, num_heads: int,
                                      has_cross=False)}
 
 
+def convert_bert_pretrain(model_sd: Dict, num_layers: int, num_heads: int,
+                          version: int) -> Dict:
+    """Full ``BertModel`` pretraining checkpoint -> ``BertPretrainModel``
+    params: the language_model trunk plus the masked-LM head (dense -> gelu
+    -> LayerNorm -> tied projection + vocab bias) and, when present, the
+    tanh pooler + binary NSP head (``bert_model.py:61-201``)."""
+    flat = _flatten_module_sd(model_sd)
+    out = {
+        "bert": convert_bert(model_sd["language_model"], num_layers,
+                             num_heads, version),
+        "lm_dense": _linear(flat, "lm_head.dense"),
+        "lm_layernorm": _ln(flat, "lm_head.layernorm"),
+        "lm_bias": _to_np(flat["lm_head.bias"]),
+    }
+    if "binary_head.weight" in flat:
+        out["pooler"] = _linear(flat, "language_model.pooler.dense")
+        out["binary_head"] = _linear(flat, "binary_head")
+    return out
+
+
 def convert_t5(t5_sd: Dict, num_layers: int, num_heads: int,
                version: int) -> Dict:
     flat = _flatten_module_sd(t5_sd)

@@ -149,6 +149,7 @@ def load_reference():
     from megatron.mpu import random as mpu_random
     mpu_random._CUDA_RNG_STATE_TRACKER = _NullRngTracker()
 
+    from megatron.model import bert_model as ref_bert
     from megatron.model import emdr2_model as ref_emdr2
     from megatron.model import search_strategy as ref_search
     from megatron.model import t5_model as ref_t5
@@ -165,5 +166,6 @@ def load_reference():
         emdr2_model=ref_emdr2,
         SampleOrGreedySearch=ref_search.SampleOrGreedySearch,
         BeamSearch=ref_search.BeamSearch,
+        BertModel=ref_bert.BertModel,
     )
     return _NS

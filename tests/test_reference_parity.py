@@ -241,6 +241,46 @@ def test_dualencoder_parity(ref):
 # Full EMDR2 joint forward (incl. postprocess and the teacher)
 # ---------------------------------------------------------------------------
 
+def test_bert_pretrain_heads_parity(ref):
+    """BERT pretraining surface (``bert_model.py:61-201``): masked-LM head
+    (dense -> gelu -> LayerNorm -> tied projection + vocab bias) and the
+    tanh-pooler binary NSP head, converted from the live reference
+    ``BertModel`` checkpoint via ``convert_bert_pretrain``."""
+    from emdr2_tpu.models.bert import BertPretrainModel
+    from emdr2_tpu.tools.convert_reference_checkpoint import (
+        convert_bert_pretrain)
+
+    ref.torch.manual_seed(31)
+    model = ref.BertModel(num_tokentypes=2, add_binary_head=True,
+                          parallel_output=True,
+                          vocab_size=T["padded_vocab"])
+    model.eval()
+
+    rng = np.random.RandomState(13)
+    B, L = 2, 20
+    ids = _rand_ids(rng, (B, L), pad_from=[16, 11])
+    types = rng.randint(0, 2, size=(B, L)).astype(np.int64)
+    types[ids == 0] = 0
+    att = (ids >= 1).astype(np.int64)
+    with torch.no_grad():
+        ref_lm, ref_bin = model(torch.from_numpy(ids),
+                                torch.from_numpy(att),
+                                tokentype_ids=torch.from_numpy(types))
+
+    params = convert_bert_pretrain(model.state_dict_for_save_checkpoint(),
+                                   T["num_layers"], T["num_heads"],
+                                   version=3)
+    ours = BertPretrainModel(_tiny_cfg(T["padded_vocab"], 2))
+    got_lm, got_bin = ours.apply({"params": params}, jnp.asarray(ids),
+                                 jnp.asarray(types))
+    real = ids >= 1  # pad QUERY rows: reference masks them too (uniform
+    np.testing.assert_allclose(np.asarray(got_lm)[real],  # attention), ours
+                               ref_lm.numpy()[real],      # is key-side-only
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got_bin), ref_bin.numpy(),
+                               atol=ATOL)
+
+
 def _build_corpus(tmp_path):
     """9 docs over 4 titles: a 3-doc group exercises every main_doc_idx
     (0 / 1 / -1), a 2-doc group and singleton cover the window edges."""
