@@ -275,8 +275,11 @@ def main():
         try:
             from emdr2_tpu.tools.bench_pipeline import bench_decode
             # greedy-only: the beam loop costs another long compile; its
-            # number lives in `bench_pipeline --decode` (README table)
-            decode = bench_decode(4, 50, iters=3, include_beam=False)
+            # number lives in `bench_pipeline --decode` (README table).
+            # breakdown adds the encode/token-loop split + encode MFU for
+            # the record at the cost of one extra warm-jit timing loop
+            decode = bench_decode(4, 50, iters=3, include_beam=False,
+                                  breakdown=True)
         except Exception as e:
             decode = {"error": f"{type(e).__name__}: {e}"[:200]}
 
