@@ -200,6 +200,9 @@ class TrainConfig:
     eval_interval: int = 500
     exit_interval: Optional[int] = None
     index_reload_interval: int = 500  # steps between index refreshes (emdr2_nq.sh:102)
+    async_save: bool = True          # interval saves stage + write in the
+    # background (tracker updated only after the checkpoint is durable);
+    # exit/timeout/final saves are always synchronous. --sync-save disables.
     optimizer: OptimizerConfig = _field(default_factory=OptimizerConfig)
 
 

@@ -61,9 +61,13 @@ def run_retriever(args, cfg) -> int:
         task.set_state(state)
         print(f"resumed retriever from {args.load} at iteration {it}")
 
-    def save(iteration):
+    def save(iteration, async_save: bool = False):
         if args.save:
-            ck.save_checkpoint(args.save, task.get_state(), iteration)
+            # interval saves ride in the background; the end-of-epoch save
+            # is synchronous (drains in-flight) so resume/post-train eval
+            # always see a durable checkpoint
+            ck.save_checkpoint(args.save, task.get_state(), iteration,
+                               async_save=async_save and cfg.train.async_save)
             ck.remove_stale_checkpoints(args.save, keep_last=2)
 
     # eval-only escape: run the post-train evaluation on loaded weights
@@ -86,7 +90,7 @@ def run_retriever(args, cfg) -> int:
                     print(f" iteration {it:8d}/{total} | loss {m['loss']:.4f}"
                           f" | correct {m['correct_prediction_count']:.0f}/{B}")
                 if it % cfg.train.save_interval == 0:
-                    save(it)
+                    save(it, async_save=True)
                 if it >= total:
                     break
             if valid_ds is not None:

@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--save-interval", type=int, default=500)
     g.add_argument("--eval-interval", type=int, default=500)
     g.add_argument("--exit-interval", type=int, default=None)
+    g.add_argument("--sync-save", action="store_true",
+                   help="block the train loop on interval checkpoint saves "
+                        "(the reference's behavior). Default: interval saves "
+                        "stage to host and write in the background; the "
+                        "tracker file advances only once the checkpoint is "
+                        "durable, and exit/final saves are always "
+                        "synchronous")
     g.add_argument("--timeout-minutes", type=float, default=None,
                    help="checkpoint and exit cleanly after this wall-clock "
                         "budget (ADLR-autoresume equivalent)")
@@ -209,6 +216,7 @@ def make_config(args):
             log_interval=args.log_interval, save_interval=args.save_interval,
             eval_interval=args.eval_interval, exit_interval=args.exit_interval,
             index_reload_interval=args.index_reload_interval,
+            async_save=not getattr(args, "sync_save", False),
             optimizer=C.OptimizerConfig(
                 lr=args.lr, min_lr=args.min_lr,
                 weight_decay=args.weight_decay, clip_grad=args.clip_grad,

@@ -23,13 +23,42 @@ from __future__ import annotations
 import os
 import re
 import shutil
-from typing import Any, Optional
+import threading
+from typing import Any, List, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 TRACKER = "latest_checkpointed_iteration.txt"
+
+# ---- async save machinery ---------------------------------------------------
+# The reference blocks the train loop on every save (checkpointing.py:94-142,
+# torch.save of the full fp32 state). Here interval saves can instead STAGE
+# (device -> host copy) and return, with the multi-GB disk write riding a
+# background thread under the next train steps. Durability contract: the
+# tracker file is written ONLY after orbax finalizes the checkpoint directory
+# (tmp-dir + atomic rename), by a per-save waiter thread — a crash mid-write
+# leaves the tracker at the previous complete checkpoint, never pointing at a
+# partial one. At most one save is in flight (each save drains the previous).
+_ASYNC: Optional[ocp.AsyncCheckpointer] = None
+_PENDING: List[threading.Thread] = []
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC
+
+
+def finalize_async_saves() -> None:
+    """Block until every staged save is durable and its tracker written.
+    Called implicitly by every sync save / load; call explicitly before
+    process exit if the last save was async."""
+    while _PENDING:
+        t = _PENDING.pop(0)
+        t.join()
 
 
 def iter_dir(root: str, iteration: int) -> str:
@@ -44,13 +73,35 @@ def latest_iteration(root: str) -> Optional[int]:
     return None
 
 
-def save_checkpoint(root: str, state: Any, iteration: int) -> str:
+def save_checkpoint(root: str, state: Any, iteration: int,
+                    async_save: bool = False) -> str:
     """Write the full train state and update the tracker atomically-enough
     (tracker written after the checkpoint completes, as the reference does
-    via barrier + rank-0 write, checkpointing.py:135-142)."""
+    via barrier + rank-0 write, checkpointing.py:135-142).
+
+    ``async_save=True`` returns after staging (device -> host copy); the
+    disk write + tracker update happen in the background (see the module
+    comment for the durability contract). Use for interval saves; keep
+    exit/final saves synchronous so they are durable before return."""
     root = os.path.abspath(root)
     os.makedirs(root, exist_ok=True)
     path = iter_dir(root, iteration)
+    finalize_async_saves()  # at most one in flight; ordered tracker writes
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.save(path, state, force=True)  # returns after staging
+
+        def _finish(it: int = iteration, r: str = root):
+            ckptr.wait_until_finished()
+            if jax.process_index() == 0:
+                with open(os.path.join(r, TRACKER), "w") as f:
+                    f.write(str(it))
+
+        t = threading.Thread(target=_finish, daemon=True,
+                             name=f"ckpt-finalize-{iteration}")
+        t.start()
+        _PENDING.append(t)
+        return path
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)  # multihost: collective save
     if jax.process_index() == 0:  # single-writer tracker (rank-0 write,
@@ -69,6 +120,7 @@ def load_checkpoint(root: str, abstract_state: Any,
     and step from ``abstract_state`` (usually fresh) are kept — the
     ``--finetune`` path."""
     root = os.path.abspath(root)
+    finalize_async_saves()  # a staged save may be the one we restore
     if iteration is None:
         iteration = latest_iteration(root)
         if iteration is None:

@@ -142,7 +142,9 @@ def train(task, dataset, cfg: EMDR2Config,
                     # the reference saves a checkpoint at every refresh —
                     # it IS the weight channel there (:482); here it's pure
                     # fault tolerance
-                    ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+                    ckpt_lib.save_checkpoint(save_dir, task.state, iteration,
+                                             async_save=getattr(
+                                                 tcfg, "async_save", False))
                     ckpt_lib.remove_stale_checkpoints(save_dir, keep_last=2)
 
             timers("step").start()
@@ -161,7 +163,13 @@ def train(task, dataset, cfg: EMDR2Config,
                     reported_memory = True       # (training.py:317-319)
 
             if save_dir is not None and iteration % tcfg.save_interval == 0:
-                ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
+                # interval saves stage + finalize in the background — the
+                # multi-GB write rides under the next train steps; the
+                # exit/timeout/final saves below stay synchronous (durable
+                # before return) and drain any in-flight async save first
+                ckpt_lib.save_checkpoint(save_dir, task.state, iteration,
+                                         async_save=getattr(
+                                             tcfg, "async_save", False))
             if eval_callback is not None and iteration % tcfg.eval_interval == 0:
                 eval_callback(iteration)
             if deadline is not None and time.perf_counter() > deadline:

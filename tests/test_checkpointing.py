@@ -47,6 +47,36 @@ class TestCheckpointRoundtrip:
         assert tree_equal(restored.params, state.params)
         assert tree_equal(restored.opt_state, state.opt_state)
 
+    def test_async_save_durability_contract(self, state_and_model, tmp_path):
+        """Async saves: save() returns after staging; the tracker advances
+        only once the checkpoint is durable (finalize_async_saves joins the
+        waiter); a later SYNC save drains the in-flight one first so tracker
+        writes stay ordered; load after an async save restores the staged
+        values."""
+        cfg, model, batch, tx, state = state_and_model
+        root = str(tmp_path / "ckpt_async")
+        ckpt.save_checkpoint(root, state, iteration=3, async_save=True)
+        ckpt.finalize_async_saves()
+        assert ckpt.latest_iteration(root) == 3
+
+        # async then sync: the sync save must drain the async one, so the
+        # tracker ends at the LATER iteration even though the async write
+        # finishes in the background
+        bumped = state._replace(step=state.step + 1)
+        ckpt.save_checkpoint(root, bumped, iteration=4, async_save=True)
+        ckpt.save_checkpoint(root, bumped, iteration=5)  # sync, drains
+        assert ckpt.latest_iteration(root) == 5
+
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, state)
+        restored, it = ckpt.load_checkpoint(root, abstract)
+        assert it == 5
+        assert tree_equal(restored.params, state.params)
+        # the iteration-4 async checkpoint also completed and is loadable
+        restored4, it4 = ckpt.load_checkpoint(root, abstract, iteration=4)
+        assert it4 == 4 and int(restored4.step) == int(bumped.step)
+
     def test_no_load_optim(self, state_and_model, tmp_path):
         cfg, model, batch, tx, state = state_and_model
         root = str(tmp_path / "ckpt2")
