@@ -79,7 +79,6 @@ class QAPipeline:
             # batch must be a multiple of the mesh's dp rows; round up —
             # ask() already pads each chunk with duplicate questions and
             # trims the answers back to the real count
-            import math
             rows = self.mesh.shape[self.mesh.axis_names[0]]
             batch_size = -(-batch_size // rows) * rows
         self.batch_size = batch_size

@@ -367,11 +367,9 @@ class E2EQATask:
         dp_rows = self.mesh.shape[self.mesh.axis_names[0]]
         mult = math.lcm(procs, dp_rows)
         batch_size = -(-batch_size // mult) * mult
-        if batch_size % procs:
-            raise ValueError(
-                f"eval batch_size {batch_size} must divide evenly over "
-                f"{procs} processes — a truncated slice would silently "
-                f"drop the remainder rows of every batch")
+        # lcm(procs, dp_rows) is a multiple of procs, so the per-process
+        # slice below is always exact
+        assert batch_size % procs == 0
         per = batch_size // procs
         max_decode_len = max_decode_len or cfg.reader.decoder_seq_len
         # cache the session: its jitted fns must be reused across eval calls

@@ -108,10 +108,14 @@ def run_openqa(args, cfg) -> int:
         # no training follows, so no fp32 master copy is needed: bf16
         # param storage (bit-identical decode, models/decoding.py
         # bf16_eval_params) halves param HBM and makes room for the
-        # larger eval batches / the cross-K/V slab
-        from emdr2_tpu.models.decoding import bf16_eval_params
-        task.state = task.state._replace(
-            params=bf16_eval_params(task.state.params))
+        # larger eval batches / the cross-K/V slab. The bit-identical
+        # guarantee only holds when compute is bf16 (params are cast there
+        # anyway), so gate the cast on the configured compute dtype.
+        import jax.numpy as jnp
+        if cfg.reader.transformer.dtype == jnp.bfloat16:
+            from emdr2_tpu.models.decoding import bf16_eval_params
+            task.state = task.state._replace(
+                params=bf16_eval_params(task.state.params))
         em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
                                  beam_size=args.beam_size,
                                  max_decode_len=args.max_decode_len,
@@ -151,17 +155,20 @@ def run_openqa(args, cfg) -> int:
 
     def eval_cb(iteration):
         # collective: every process participates in the mesh-sharded decode
-        # (engine.train invokes the callback on all processes in lockstep)
-        if valid_ds is not None:
-            em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
-                                     beam_size=args.beam_size,
-                                     max_decode_len=args.max_decode_len,
-                                     sample=getattr(args, "sampling", False),
-                                     kv_quant="int8" if getattr(
-                                         args, "decode_kv_int8", False)
-                                     else None)
-            if is_coordinator():
-                print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
+        # (engine.train invokes the callback on all processes in lockstep).
+        # Returns the metrics dict so engine.train writes EM to TensorBoard.
+        if valid_ds is None:
+            return None
+        em, n = task.evaluate_em(valid_ds, batch_size=eval_bs,
+                                 beam_size=args.beam_size,
+                                 max_decode_len=args.max_decode_len,
+                                 sample=getattr(args, "sampling", False),
+                                 kv_quant="int8" if getattr(
+                                     args, "decode_kv_int8", False)
+                                 else None)
+        if is_coordinator():
+            print(f" iteration {iteration} | valid EM {em:.2f} over {n}")
+        return {"valid_em": em, "valid_n": n}
 
     final = engine.train(task, train_ds, cfg, refresher=refresher,
                          save_dir=args.save, eval_callback=eval_cb,

@@ -43,6 +43,7 @@ TRACKER = "latest_checkpointed_iteration.txt"
 # partial one. At most one save is in flight (each save drains the previous).
 _ASYNC: Optional[ocp.AsyncCheckpointer] = None
 _PENDING: List[threading.Thread] = []
+_ERRORS: List[BaseException] = []  # failures from background _finish threads
 
 
 def _async_checkpointer() -> ocp.AsyncCheckpointer:
@@ -55,10 +56,21 @@ def _async_checkpointer() -> ocp.AsyncCheckpointer:
 def finalize_async_saves() -> None:
     """Block until every staged save is durable and its tracker written.
     Called implicitly by every sync save / load; call explicitly before
-    process exit if the last save was async."""
+    process exit if the last save was async.
+
+    A failed background commit (disk full, orbax error) is re-raised HERE —
+    the waiter thread records the exception rather than dying silently, so
+    the next save/load/finalize surfaces it instead of training on while
+    interval checkpointing has quietly stopped working."""
     while _PENDING:
         t = _PENDING.pop(0)
         t.join()
+    if _ERRORS:
+        err = _ERRORS.pop(0)
+        _ERRORS.clear()
+        raise RuntimeError(
+            "a background checkpoint save failed; the tracker was NOT "
+            "advanced past the last durable checkpoint") from err
 
 
 def iter_dir(root: str, iteration: int) -> str:
@@ -92,10 +104,13 @@ def save_checkpoint(root: str, state: Any, iteration: int,
         ckptr.save(path, state, force=True)  # returns after staging
 
         def _finish(it: int = iteration, r: str = root):
-            ckptr.wait_until_finished()
-            if jax.process_index() == 0:
-                with open(os.path.join(r, TRACKER), "w") as f:
-                    f.write(str(it))
+            try:
+                ckptr.wait_until_finished()
+                if jax.process_index() == 0:
+                    with open(os.path.join(r, TRACKER), "w") as f:
+                        f.write(str(it))
+            except BaseException as e:  # surfaced by finalize_async_saves
+                _ERRORS.append(e)
 
         t = threading.Thread(target=_finish, daemon=True,
                              name=f"ckpt-finalize-{iteration}")

@@ -61,6 +61,12 @@ def train(task, dataset, cfg: EMDR2Config,
     ``task`` is an E2EQATask with an initialized state; ``dataset`` an
     OpenQADataset. train_iters = epochs x batches-per-epoch unless
     cfg.train.train_iters is set (parity with train_e2eqa.py:564-570).
+
+    ``eval_callback(iteration)`` may return a metrics dict (e.g.
+    ``{"valid_em": ...}``); it is written to TensorBoard at that iteration.
+    The metrics writer is flushed/closed on EVERY exit path — normal
+    completion, time budget, exit_interval, and error propagation — so no
+    buffered events are lost on early returns.
     """
     tcfg = cfg.train
     B = task.global_batch_size
@@ -101,8 +107,10 @@ def train(task, dataset, cfg: EMDR2Config,
                 "world_size": _jax.process_count()}
                if _jax.process_count() > 1 else {})
 
+    refresh_count = 0
     epoch = start_epoch
-    while iteration < total_iters and batches_per_epoch > 0:
+    try:
+      while iteration < total_iters and batches_per_epoch > 0:
         epoch_batches = dataset.epoch_batches(B, seed=tcfg.seed + epoch,
                                               **dist_kw)
         if prefetch_depth > 0:
@@ -138,6 +146,9 @@ def train(task, dataset, cfg: EMDR2Config,
 
             if refresher is not None and refresher.maybe_swap(
                     iteration, task.state.params):
+                refresh_count += 1
+                writer.scalars({"index_refresh_count": refresh_count},
+                               iteration)
                 if save_dir is not None:
                     # the reference saves a checkpoint at every refresh —
                     # it IS the weight channel there (:482); here it's pure
@@ -171,7 +182,11 @@ def train(task, dataset, cfg: EMDR2Config,
                                          async_save=getattr(
                                              tcfg, "async_save", False))
             if eval_callback is not None and iteration % tcfg.eval_interval == 0:
-                eval_callback(iteration)
+                eval_metrics = eval_callback(iteration)
+                if eval_metrics:  # e.g. {"valid_em": ...} -> TB scalars
+                    writer.scalars({k: float(v)
+                                    for k, v in eval_metrics.items()},
+                                   iteration)
             if deadline is not None and time.perf_counter() > deadline:
                 if refresher is not None:
                     refresher.stop(wait=False)
@@ -189,10 +204,13 @@ def train(task, dataset, cfg: EMDR2Config,
                 printer(f" exiting at iteration {iteration} (exit_interval)")
                 return iteration
         epoch += 1
+    finally:
+        # flush buffered TB events on EVERY exit path (normal completion,
+        # timeout return, exit_interval return, exception propagation)
+        writer.close()
 
     if refresher is not None:
         refresher.stop(wait=True)
     if save_dir is not None:
         ckpt_lib.save_checkpoint(save_dir, task.state, iteration)
-    writer.close()
     return iteration

