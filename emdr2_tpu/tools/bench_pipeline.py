@@ -477,11 +477,16 @@ def main(argv=None):
         # decode table) — throughput is ~flat in B (8.55 q/s at B=4 fp32,
         # 9.01 at B=8 bf16: encode FLOPs and the per-step slab read both
         # scale linearly, nothing amortizes); fp32 params OOM past B=4
-        # (0.94 GB/example bf16 cross-K/V at K=50); B=16 fails to compile
-        # at K=50 (25.6k-key encode workspace); int8 K/V is throughput-
-        # neutral — its value is the halved slab HBM
+        # (0.94 GB/example bf16 cross-K/V at K=50); int8 K/V is throughput-
+        # neutral at B<=8 — its value is the halved slab HBM. B>=16 needs
+        # BOTH the K-block encode (the monolithic 25.6k-key encode hit a
+        # compile wall; DecoderSession.encode_chunk_rows) and int8 K/V
+        # (the bf16 slab alone is 0.94 GB/example: 15 GB at B=16); B=32's
+        # slab is ~15 GB even int8 — expected OOM on 16 GB, recorded as an
+        # error row rather than silently skipped
         for B, bf16, kvq in ((4, False, None), (4, False, "int8"),
-                             (8, True, None), (8, True, "int8")):
+                             (8, True, None), (8, True, "int8"),
+                             (16, True, "int8"), (32, True, "int8")):
             key = (f"B{B}" + ("_bf16params" if bf16 else "")
                    + ("_kvint8" if kvq else ""))
             try:
