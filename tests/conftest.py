@@ -60,6 +60,7 @@ SLOW_MODULES = {
     "test_submesh.py",
     "test_flash_integration.py",   # whole-model flash-vs-XLA train parity
     "test_cli.py",                 # full CLI train loops on the toy world
+    "test_recipes.py",             # the shipped bash recipes as subprocesses
 }
 
 # Individual long-running tests inside otherwise-default modules
