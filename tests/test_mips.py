@@ -363,3 +363,47 @@ class TestInt8:
             for i in range(q.shape[0])
         ])
         assert recall >= 0.9, recall
+
+
+class TestBlockedWindow:
+    """Two-stage blocked selection of the large re-rank window
+    (``_blocked_window_topk`` — the k>20 int8 path's top-k cost cure)."""
+
+    def test_matches_exact_topk_values(self):
+        from emdr2_tpu.ops.mips import _blocked_window_topk
+        rng = np.random.RandomState(0)
+        for nq, C, m, w in ((16, 20480, 128, 1024), (8, 8192, 96, 512),
+                            (4, 12000, 128, 1024)):   # C % width != 0 too
+            x = jnp.asarray(rng.randn(nq, C).astype(np.float32))
+            pos = np.asarray(_blocked_window_topk(x, m, block_width=w))
+            got = np.sort(np.take_along_axis(np.asarray(x), pos, axis=1), 1)
+            want = np.sort(np.asarray(jax.lax.top_k(x, m)[0]), 1)
+            np.testing.assert_array_equal(got, want)
+
+    def test_adversarial_clustering_falls_back(self):
+        """When blocks are too few for stage 2 to pay, the helper falls back
+        to exact top-k (never a wrong answer, just no speedup)."""
+        from emdr2_tpu.ops.mips import _blocked_window_topk
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(4, 2048).astype(np.float32))
+        pos = np.asarray(_blocked_window_topk(x, 128, block_width=1024))
+        want = np.sort(np.asarray(jax.lax.top_k(x, 128)[0]), 1)
+        got = np.sort(np.take_along_axis(np.asarray(x), pos, axis=1), 1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_overflowing_block_loses_only_tail(self):
+        """Even if one block holds MORE than t of the top-m (beyond the
+        margin's design point), the selected set still contains the top
+        ~t-per-block members — the loss is bounded to window-tail members,
+        never the head that the final k<m re-rank keeps."""
+        from emdr2_tpu.ops.mips import _blocked_window_topk
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 16384).astype(np.float32)
+        # cram the global top-200 into one block
+        x[:, 512:712] += 100.0
+        pos = np.asarray(_blocked_window_topk(jnp.asarray(x), 128,
+                                              block_width=1024, margin=4))
+        # top-32 (= t at these shapes) of the hot block must all survive
+        top32 = np.argsort(-x, axis=1)[:, :32]
+        for i in range(2):
+            assert set(top32[i]) <= set(pos[i])
