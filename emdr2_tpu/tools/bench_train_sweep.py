@@ -118,7 +118,18 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--out", default="/root/repo/BENCH_SWEEP.jsonl")
     p.add_argument("--skip-done", action="store_true")
+    p.add_argument("--row", default=None,
+                   help="internal: run ONE row ('B:policy:residency') in "
+                        "this process and append it to --out")
     args = p.parse_args(argv)
+
+    if args.row:
+        b, policy, res = args.row.split(":")
+        row = run_row(int(b), policy, res, args.iters)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"  -> {row}", flush=True)
+        return
 
     done = set()
     if args.skip_done and os.path.exists(args.out):
@@ -131,8 +142,12 @@ def main(argv=None):
     policies = args.policies.split(",")
     residency = args.residency.split(",")
 
-    # row order: one (policy, B) compile amortizes across all its residency
-    # variants back-to-back; int8 (the flagship default) measures first
+    # One fresh PROCESS per row: a TPU OOM leaks the failed row's device
+    # buffers into the live client (every subsequent row then spuriously
+    # RESOURCE_EXHAUSTs — observed when the whole sweep shared a process),
+    # so isolation is correctness here, not hygiene. The persistent compile
+    # cache keeps the per-process recompile at ~2-4 min.
+    import subprocess
     for policy in policies:
         for B in bs:
             for res in residency:
@@ -142,10 +157,18 @@ def main(argv=None):
                     continue
                 print(f"row B={B} policy={policy} residency={res} ...",
                       flush=True)
-                row = run_row(B, policy, res, args.iters)
-                with open(args.out, "a") as f:
-                    f.write(json.dumps(row) + "\n")
-                print(f"  -> {row}", flush=True)
+                r = subprocess.run(
+                    [sys.executable, "-m",
+                     "emdr2_tpu.tools.bench_train_sweep",
+                     "--row", f"{B}:{policy}:{res}",
+                     "--iters", str(args.iters), "--out", args.out],
+                    cwd="/root/repo")
+                if r.returncode != 0:
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps(
+                            {"B": B, "policy": policy, "residency": res,
+                             "error": f"row process died rc={r.returncode}"})
+                            + "\n")
 
 
 if __name__ == "__main__":
