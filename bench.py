@@ -98,7 +98,9 @@ def bench_mips(on_cpu: bool):
 
 def flagship_step_config(B: int = 4, K: int = 50,
                          remat_policy: str = "nothing",
-                         remat_towers: bool = False):
+                         remat_towers: bool = False,
+                         hidden_dropout: float = None,
+                         attention_dropout: float = None):
     """The flagship NQ recipe exactly as examples/openqa/emdr2_nq.sh runs it:
     BERT-base retriever + T5-base FiD reader, seq 512/256/32, flash attention
     everywhere, bf16 compute / fp32 params+adam. Per-layer remat on the
@@ -109,6 +111,11 @@ def flagship_step_config(B: int = 4, K: int = 50,
     ``remat_towers=True`` restores full remat (the minimum-HBM layout)."""
     from emdr2_tpu.config import EMDR2Config
 
+    drops = {}
+    if hidden_dropout is not None:
+        drops["hidden_dropout"] = hidden_dropout
+    if attention_dropout is not None:
+        drops["attention_dropout"] = attention_dropout
     cfg = EMDR2Config()
     return cfg.replace(
         retriever=dataclasses.replace(
@@ -116,26 +123,29 @@ def flagship_step_config(B: int = 4, K: int = 50,
             encoder=dataclasses.replace(cfg.retriever.encoder,
                                         remat=remat_towers,
                                         remat_policy=remat_policy,
-                                        fid_flash_attention=True)),
+                                        fid_flash_attention=True, **drops)),
         reader=dataclasses.replace(
             cfg.reader,
             transformer=dataclasses.replace(
                 cfg.reader.transformer, remat=True,
                 remat_policy=remat_policy,
-                fid_flash_attention=True)),
+                fid_flash_attention=True, **drops)),
         index=dataclasses.replace(cfg.index, topk=K),
     )
 
 
 def make_flagship_step(B: int = 4, K: int = 50,
                        remat_policy: str = "nothing",
-                       remat_towers: bool = False):
+                       remat_towers: bool = False,
+                       hidden_dropout: float = None,
+                       attention_dropout: float = None):
     """(compiled_step, state, batch) for the flagship shape — shared by
     bench.py and warmup so the persistent compile cache always hits."""
     from emdr2_tpu.models import EMDR2Batch, EMDR2Model
     from emdr2_tpu.training import step as step_lib
 
-    cfg = flagship_step_config(B, K, remat_policy, remat_towers)
+    cfg = flagship_step_config(B, K, remat_policy, remat_towers,
+                               hidden_dropout, attention_dropout)
     rng = np.random.RandomState(0)
 
     def ids(*shape):
