@@ -253,6 +253,10 @@ def bench_train_step(B: int = 4, K: int = 50):
     out = {
         "config": (f"B={B} K={K} seq512 flash bf16, reader remat + "
                    "towers stored (emdr2_nq.sh recipe)"),
+        # measured 16 GB frontier (bench_train_sweep, BENCH_SWEEP.jsonl):
+        # B=4/towers is optimal — B=5 compiles only under full remat and
+        # loses per-example (2.67 vs 2.74 ex/s), B>=6 exceeds HBM
+        "batch_frontier": "B=4 measured-best on 16 GB (see BENCH_SWEEP.jsonl)",
         "ms_per_step": round(dt * 1000, 1),
         "examples_per_sec_per_chip": round(B / dt, 2),
         "hlo_tflops_per_step": round(flops / 1e12, 1),
