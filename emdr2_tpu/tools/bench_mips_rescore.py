@@ -42,13 +42,16 @@ def exact_reference_ids(q, q8, scales, k, chunks=16):
     step = n // chunks
     group = n // scales.shape[0]
 
+    # q/q8/scales are explicit jit ARGS, not closure captures: a captured
+    # concrete array lands in the jaxpr as a constvar and the ~1 GB int8
+    # shard then rides along with the serialized HLO, which breaks the
+    # remote-compile transport (observed: Broken pipe at this compile)
     @jax.jit
-    def chunk_topk(lo):
-        rows = jax.lax.dynamic_slice_in_dim(q8, lo, step, 0)
-        sc = jax.lax.dynamic_slice_in_dim(scales, lo // group,
-                                          step // group, 0)
+    def chunk_topk(qq, rows8, sc_all, lo, lo_sc):
+        rows = jax.lax.dynamic_slice_in_dim(rows8, lo, step, 0)
+        sc = jax.lax.dynamic_slice_in_dim(sc_all, lo_sc, step // group, 0)
         rows_f = rows.astype(jnp.float32) * jnp.repeat(sc, group)[:, None]
-        s = jnp.einsum("qd,nd->qn", q, rows_f,
+        s = jnp.einsum("qd,nd->qn", qq, rows_f,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         return jax.lax.top_k(s, k)
@@ -56,7 +59,7 @@ def exact_reference_ids(q, q8, scales, k, chunks=16):
     best_v = np.full((nq, k), -np.inf, np.float32)
     best_i = np.zeros((nq, k), np.int64)
     for c in range(chunks):
-        v, i = chunk_topk(c * step)
+        v, i = chunk_topk(q, q8, scales, c * step, (c * step) // group)
         v, i = np.asarray(v), np.asarray(i, np.int64) + c * step
         av = np.concatenate([best_v, v], 1)
         ai = np.concatenate([best_i, i], 1)
