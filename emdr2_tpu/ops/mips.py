@@ -483,15 +483,20 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
             cidx = jnp.take_along_axis(cand_idx, cpos, axis=1)[:nq]
             rows = jnp.take(shard, cidx, axis=0)        # [nq, M, d_pad] i8
             gsc = jnp.take(shard_scales, cidx // group_size, axis=0)
-            rows_f = rows.astype(jnp.float32) * gsc[..., None]
             # HIGHEST: TPU fp32 matmuls default to bf16-pass precision whose
             # ~0.1-magnitude noise rivals the top-k boundary spacing at the
             # 1.31M shard; true-fp32 passes make the re-rank order match an
             # exact fp32 scorer (measured: recall 0.9963 -> 1.0). The einsum
             # is [nq, M, d] — the extra passes cost nothing measurable.
-            scores = jnp.einsum("qd,qmd->qm", qf, rows_f[..., :d],
+            # The per-row group scale is constant along d, so it factors out
+            # of the dot: score the raw int8 rows (exact in fp32) and scale
+            # the [nq, M] result — the [nq, M, d] fp32 dequant product never
+            # materializes (~200 MB of pure HBM traffic at M=128/nq=512),
+            # and one rounding step drops out of the dequantized path.
+            scores = jnp.einsum("qd,qmd->qm", qf,
+                                rows[..., :d].astype(jnp.float32),
                                 preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+                                precision=jax.lax.Precision.HIGHEST) * gsc
             # candidates pointing at padded/invalid rows (zero vectors,
             # score 0.0) must never displace real negatives
             scores = jnp.where(cidx < nv, scores, NEG_INF)
