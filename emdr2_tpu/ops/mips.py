@@ -458,11 +458,12 @@ def mips_topk(queries: jnp.ndarray, shard: jnp.ndarray, k: int, *,
         gscale = jnp.tile(shard_scales, cands_per_group)
         cand_vals = cand_vals * gscale[None, :] * q_scale[:, None]
 
-        # default window, measured on v5e at the 1.31M shard (BENCH r4):
-        # k=20/M=48 -> recall 1.000000 vs exact-fp32-over-stored at 45.8k
-        # q/s; k=51 needs M=128 for 1.000000 (a true winner can sit ~rank
-        # 100 of the approx order when runner-ups cluster); larger M only
-        # costs top_k time (8.8 ms at M=128 vs 3.3 ms at M=48)
+        # default window, measured on v5e at the 1.31M shard (r5 session,
+        # tools/bench_mips_rescore): k=20/M=48 -> recall 1.000000 vs
+        # exact-fp32-over-stored at 50.1k q/s; k=51 needs M=128 for
+        # 1.000000 (a true winner can sit ~rank 100 of the approx order
+        # when runner-ups cluster) and runs 39.5k q/s with the blocked
+        # two-stage window selection below (vs 31.8k plain exact top-M)
         rescore_m = ((48 if k <= 20 else max(128, 2 * k))
                      if rescore is None else rescore)
         if rescore_m:
