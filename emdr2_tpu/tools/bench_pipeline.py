@@ -437,7 +437,10 @@ def main(argv=None):
                    help="also measure FiD encode + greedy decode latency")
     p.add_argument("--decode-sweep", action="store_true",
                    help="eval-batch-size sweep of the decode path with the "
-                        "encode/token-loop breakdown (B in 4/8/16)")
+                        "encode/token-loop breakdown (B in 4/8/16/32)")
+    p.add_argument("--decode-sweep-row", default=None,
+                   help="internal: run ONE decode-sweep row ('B:bf16:kvq') "
+                        "in this process and print its JSON")
     p.add_argument("--overlap", action="store_true",
                    help="also measure the full overlapped iteration "
                         "(prefetch pipeline: stage A+B hidden under step C)")
@@ -466,6 +469,19 @@ def main(argv=None):
     cache = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
     cache.mkdir(exist_ok=True)
 
+    if args.decode_sweep_row:
+        # internal child mode: ONE row in this process (see --decode-sweep
+        # for why rows can't share a process), JSON on the last stdout line
+        b, bf16, kvq = args.decode_sweep_row.split(":")
+        try:
+            row = bench_decode(int(b), args.topk, include_beam=False,
+                               breakdown=True, bf16_params=bf16 == "1",
+                               kv_quant=kvq or None)
+        except Exception as e:
+            row = {"error": f"{type(e).__name__}: {e}"[:160]}
+        print(json.dumps(row))
+        return
+
     if args.decode_sweep:
         # eval has no optimizer/index HBM pressure, so larger batches can
         # amortize the encode phase (VERDICT r3 weak #7): sweep B, report
@@ -483,19 +499,31 @@ def main(argv=None):
         # compile wall; DecoderSession.encode_chunk_rows) and int8 K/V
         # (the bf16 slab alone is 0.94 GB/example: 15 GB at B=16); B=32's
         # slab is ~15 GB even int8 — expected OOM on 16 GB, recorded as an
-        # error row rather than silently skipped
+        # error row rather than silently skipped.
+        # One fresh PROCESS per row: a big-slab row's freed-but-fragmented
+        # HBM (and any OOM'd row's leaked buffers) otherwise spuriously
+        # RESOURCE_EXHAUSTs every subsequent row — the in-process sweep
+        # OOM'd B8_kvint8, which runs fine standalone (907 ms, r4).
+        import subprocess
         for B, bf16, kvq in ((4, False, None), (4, False, "int8"),
                              (8, True, None), (8, True, "int8"),
                              (16, True, "int8"), (32, True, "int8")):
             key = (f"B{B}" + ("_bf16params" if bf16 else "")
                    + ("_kvint8" if kvq else ""))
+            r = subprocess.run(
+                [sys.executable, "-m", "emdr2_tpu.tools.bench_pipeline",
+                 "--decode-sweep-row", f"{B}:{int(bf16)}:{kvq or ''}",
+                 "--topk", str(args.topk), "--iters", str(args.iters)],
+                cwd="/root/repo", capture_output=True, text=True)
+            lines = [ln for ln in r.stdout.strip().splitlines() if ln]
             try:
-                result["decode_sweep"][key] = bench_decode(
-                    B, args.topk, include_beam=False, breakdown=True,
-                    bf16_params=bf16, kv_quant=kvq)
-            except Exception as e:
+                result["decode_sweep"][key] = json.loads(lines[-1])
+            except (IndexError, json.JSONDecodeError):
                 result["decode_sweep"][key] = {
-                    "error": f"{type(e).__name__}: {e}"[:160]}
+                    "error": f"row process died rc={r.returncode}: "
+                             f"{r.stderr.strip().splitlines()[-1:] }"[:160]}
+            print(f"  {key} -> {result['decode_sweep'][key]}",
+                  file=sys.stderr, flush=True)
         print(json.dumps(result))
         return
 
