@@ -353,7 +353,21 @@ def bench_decode(B: int, K: int, max_decode_len: int = 32, iters: int = 5,
         labels=jnp.zeros((B, Ld), jnp.int32),
         loss_mask=jnp.zeros((B, Ld), jnp.float32),
     )
-    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    # Init at B=1/K=2: flax init traces the FULL training forward (incl.
+    # the B*K-row teacher) at the init batch's shape, and at B>=16/K=50
+    # that one-shot program alone kills the tunnel's remote-compile helper.
+    # Param shapes don't depend on B/K, so init tiny and benchmark big.
+    init_batch = EMDR2Batch(
+        query_bert_ids=batch.query_bert_ids[:1],
+        context_bert_ids=batch.context_bert_ids[:1, :2],
+        context_bert_types=batch.context_bert_types[:1, :2],
+        reader_ids=batch.reader_ids[:1, :2],
+        reader_one_ctx_ids=batch.reader_one_ctx_ids[:1, :2],
+        dec_ids=batch.dec_ids[:1],
+        labels=batch.labels[:1],
+        loss_mask=batch.loss_mask[:1],
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_batch)["params"]
     if bf16_params:
         # eval holds no optimizer state and needs no fp32 master weights —
         # bf16 kernel storage frees ~0.76 GB at 440M params (embedding
@@ -489,17 +503,20 @@ def main(argv=None):
         # 16 GB (the cross-K/V slab is 1.18 GB/example at K=50), so B>=8
         # runs with bf16 param storage (see bench_decode bf16_params)
         result = {"topk": args.topk, "decode_sweep": {}}
-        # (B, bf16 param storage, int8 cross-K/V): measured r4 (README
-        # decode table) — throughput is ~flat in B (8.55 q/s at B=4 fp32,
-        # 9.01 at B=8 bf16: encode FLOPs and the per-step slab read both
-        # scale linearly, nothing amortizes); fp32 params OOM past B=4
-        # (0.94 GB/example bf16 cross-K/V at K=50); int8 K/V is throughput-
-        # neutral at B<=8 — its value is the halved slab HBM. B>=16 needs
-        # BOTH the K-block encode (the monolithic 25.6k-key encode hit a
-        # compile wall; DecoderSession.encode_chunk_rows) and int8 K/V
-        # (the bf16 slab alone is 0.94 GB/example: 15 GB at B=16); B=32's
-        # slab is ~15 GB even int8 — expected OOM on 16 GB, recorded as an
-        # error row rather than silently skipped.
+        # (B, bf16 param storage, int8 cross-K/V): measured r5 (README
+        # decode table, BENCH_DECODE.jsonl) — throughput is ~flat in B
+        # (8.58 q/s at B=4 fp32, 8.94 at B=8 bf16: encode FLOPs and the
+        # per-step slab read both scale linearly, nothing amortizes); fp32
+        # params OOM past B=4 (0.94 GB/example bf16 cross-K/V at K=50);
+        # int8 K/V is throughput-neutral at B<=8 — its value is the halved
+        # slab HBM. B>=16 needs BOTH the K-block encode (the monolithic
+        # 25.6k-key encode hit a compile wall; DecoderSession.
+        # encode_chunk_rows) and int8 K/V (the bf16 slab alone is 0.94 GB/
+        # example: 15 GB at B=16); with both, the program compiles on CPU
+        # but the shared tunnel's remote-compile helper dies on programs
+        # that size (HTTP 500 subprocess exit — the same infra wall that
+        # stops the train sweep at B>=6), so B>=16 records an error row
+        # rather than silently skipping.
         # One fresh PROCESS per row: a big-slab row's freed-but-fragmented
         # HBM (and any OOM'd row's leaked buffers) otherwise spuriously
         # RESOURCE_EXHAUSTs every subsequent row — the in-process sweep

@@ -61,11 +61,34 @@ def make_optimizer(cfg: OptimizerConfig, total_iters: int
     )
 
 
+def _minimal_init_batch(b: EMDR2Batch) -> EMDR2Batch:
+    """B=1/K=2 shape-minimal copy of a sample batch, for flax init.
+
+    Param shapes don't depend on the batch dims, but ``model.init`` TRACES
+    the full forward (incl. the B*K-row teacher) at the sample batch's
+    shape — at B>=6/K=50 that one-shot init program alone exceeds the XLA
+    compiler's scheduling budget on a 16 GB chip (it crashes the compile
+    helper before the train step is even built). Initializing at B=1/K=2
+    makes init O(1) in B/K; the resulting params are bit-identical (every
+    initializer draws from the param shape, which is unchanged)."""
+    return EMDR2Batch(
+        query_bert_ids=b.query_bert_ids[:1],
+        context_bert_ids=b.context_bert_ids[:1, :2],
+        context_bert_types=b.context_bert_types[:1, :2],
+        reader_ids=b.reader_ids[:1, :2],
+        reader_one_ctx_ids=b.reader_one_ctx_ids[:1, :2],
+        dec_ids=b.dec_ids[:1],
+        labels=b.labels[:1],
+        loss_mask=b.loss_mask[:1],
+    )
+
+
 def create_train_state(model: EMDR2Model, sample_batch: EMDR2Batch,
                        tx: optax.GradientTransformation,
                        rng: jax.Array) -> TrainState:
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init({"params": params_rng}, sample_batch)
+    variables = model.init({"params": params_rng},
+                           _minimal_init_batch(sample_batch))
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

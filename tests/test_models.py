@@ -296,6 +296,23 @@ class TestEMDR2:
                          method=EMDR2Model.embed_query)
         np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
 
+    def test_minimal_init_batch_params_bit_identical(self, cfg, setup):
+        """create_train_state inits at B=1/K=2 (the full-shape init program
+        alone crashed the XLA compile helper at B>=6/K=50); param shapes
+        and initializer draws depend only on param shape, so the resulting
+        tree must be bit-identical to a full-batch init."""
+        from emdr2_tpu.training import step as step_lib
+        model, _, batch = setup
+        key = jax.random.PRNGKey(7)
+        mini = step_lib._minimal_init_batch(batch)
+        assert mini.reader_ids.shape == (1, 2, batch.reader_ids.shape[-1])
+        p_min = model.init({"params": key}, mini)["params"]
+        p_full = model.init({"params": key}, batch)["params"]
+        eq = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            p_min, p_full)
+        assert all(jax.tree_util.tree_leaves(eq))
+
 
 class TestPackedDropout:
     """PackedDropout (models/layers.py): counter-hash dropout must be an
